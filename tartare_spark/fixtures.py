@@ -1,0 +1,237 @@
+"""Deterministic change-event fixtures (FIXTURES.md, seed 42).
+
+Pure-Python generator (pyarrow writer, no Spark needed) so the exact
+same fixture is reproducible by engine tests, the pandas referee, the
+bench harness, and the driver. Every payload column is a pure function
+of ``(repo, path, lsn)`` so per-row ``sha256(content)`` — the judged
+invariant (BASELINE.json:15) — is reproducible everywhere.
+
+Reference analog: tartare's integration-test GTFS fixtures + the
+automatic-update change-detection loop (conditional fetch by md5,
+re-export only affected coverages), re-expressed as a binlog replay
+oracle per BASELINE.json:6. [PK: tartare/tests/fixtures, tasks.py]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 42
+EXTS = ["py", "rs", "ts", "go", "java", "md", "toml"]
+EXT_LANG = {
+    "py": "python",
+    "rs": "rust",
+    "ts": "typescript",
+    "go": "go",
+    "java": "java",
+    "md": "markdown",
+    "toml": "toml",
+}
+TS_BASE = datetime(2026, 1, 1, 0, 0, 0)  # UTC (naive; session TZ is UTC)
+
+CHANGE_EVENT_COLUMNS = ["lsn", "op", "repo", "path", "commit", "lang", "content", "ts"]
+
+
+def _sha(s: str) -> str:
+    return hashlib.sha256(s.encode("utf-8")).hexdigest()
+
+
+def content_for(repo: str, path: str, lsn: int) -> str:
+    """Row content — pure function of key+version (FIXTURES.md §2)."""
+    return f"// {repo}:{path} v{lsn}\n" + _sha(f"{repo}|{path}|{lsn}")
+
+
+def commit_for(repo: str, path: str, lsn: int) -> str:
+    return _sha(f"{repo}/{path}@{lsn}")[:12]
+
+
+def path_ext(path: str) -> str:
+    return path.rsplit(".", 1)[-1]
+
+
+@dataclass
+class FixtureSpec:
+    n_repos: int = 20
+    paths_per_repo: int = 50
+    n_events: int = 10_000
+    # registry evolution points (FIXTURES.md §3): v2 adds `lang`,
+    # v3 renames `lang` -> `language`.
+    seed: int = SEED
+
+    @property
+    def v2_lsn(self) -> int:
+        return self.n_events // 3
+
+    @property
+    def v3_lsn(self) -> int:
+        return 2 * self.n_events // 3
+
+
+UNIT = FixtureSpec()
+DRIVER = FixtureSpec(n_repos=100, paths_per_repo=100, n_events=100_000)
+
+
+def _repo_weights(n_repos: int) -> list[float]:
+    """Zipf-ish skew: hottest repo ~20% of events, top-5 ~50% (FIXTURES §2)."""
+    w = [0.0] * n_repos
+    w[0] = 0.20
+    for i in range(1, min(5, n_repos)):
+        w[i] = 0.075
+    rest = max(n_repos - 5, 1)
+    remaining = 1.0 - sum(w)
+    for i in range(5, n_repos):
+        w[i] = remaining / rest
+    return w
+
+
+def _initial_path(repo_i: int, j: int) -> str:
+    ext = EXTS[j % len(EXTS)]
+    return f"src/{j // 10}/f{j:05d}.{ext}"
+
+
+def generate_change_events(spec: FixtureSpec = UNIT) -> dict[str, list]:
+    """Generate the binlog fixture as columnar python lists, in ARRIVAL
+    order (≈lsn order with ~5% out-of-order within a 1000-lsn horizon and
+    ~1% verbatim duplicates). See FIXTURES.md §2 for the exact rules.
+    """
+    rng = random.Random(spec.seed)
+    repos = [f"repo_{i:04d}" for i in range(spec.n_repos)]
+    weights = _repo_weights(spec.n_repos)
+
+    # key state: repo -> {path: live?}; new paths appear over time
+    known_paths: dict[str, list[str]] = {
+        r: [_initial_path(i, j) for j in range(spec.paths_per_repo)]
+        for i, r in enumerate(repos)
+    }
+    live: dict[tuple[str, str], bool] = {}
+
+    rows: list[tuple] = []
+    for lsn in range(1, spec.n_events + 1):
+        repo = rng.choices(repos, weights=weights, k=1)[0]
+        make_new = rng.random() < 0.05
+        if make_new:
+            j = len(known_paths[repo])
+            path = _initial_path(repos.index(repo), j)
+            known_paths[repo].append(path)
+        else:
+            path = rng.choice(known_paths[repo])
+        key = (repo, path)
+        is_live = live.get(key, False)
+        if not is_live:
+            # first touch (or touch after delete): mostly insert, ~2%
+            # of the time an update targeting an absent/deleted key
+            # (must upsert — replace-or-add MERGE rule, SURVEY §2 J1)
+            op = "update" if rng.random() < 0.02 else "insert"
+            live[key] = True
+        else:
+            r = rng.random()
+            if r < 0.10:
+                op = "delete"
+                live[key] = False
+            else:
+                op = "update"
+        if op == "delete":
+            content = ""
+        else:
+            content = content_for(repo, path, lsn)
+        ext = path_ext(path)
+        lang = EXT_LANG[ext] if lsn >= spec.v2_lsn else None  # null pre-v2
+        ts = TS_BASE + timedelta(seconds=lsn)
+        rows.append((lsn, op, repo, path, commit_for(repo, path, lsn), lang, content, ts))
+
+    # ~5% out-of-order within a 1000-lsn horizon (also lag their ts)
+    n = len(rows)
+    for idx in rng.sample(range(n), k=max(1, n // 20)):
+        back = rng.randint(1, min(1000, idx)) if idx > 0 else 0
+        if back:
+            r = list(rows[idx])
+            r[7] = r[7] - timedelta(seconds=back // 2)  # lagged ts (late data)
+            rows.insert(idx - back, tuple(r))
+            del rows[idx + 1]
+
+    # ~1% verbatim duplicates (redelivery), injected after the original
+    dup_idx = rng.sample(range(len(rows)), k=max(1, len(rows) // 100))
+    for idx in sorted(dup_idx, reverse=True):
+        insert_at = min(len(rows), idx + rng.randint(1, 200))
+        rows.insert(insert_at, rows[idx])
+
+    cols: dict[str, list] = {c: [] for c in CHANGE_EVENT_COLUMNS}
+    for r in rows:
+        for c, v in zip(CHANGE_EVENT_COLUMNS, r):
+            cols[c].append(v)
+    return cols
+
+
+def events_arrow_table(cols: dict[str, list]) -> pa.Table:
+    return pa.table(
+        {
+            "lsn": pa.array(cols["lsn"], pa.int64()),
+            "op": pa.array(cols["op"], pa.string()),
+            "repo": pa.array(cols["repo"], pa.string()),
+            "path": pa.array(cols["path"], pa.string()),
+            "commit": pa.array(cols["commit"], pa.string()),
+            "lang": pa.array(cols["lang"], pa.string()),
+            "content": pa.array(cols["content"], pa.string()),
+            "ts": pa.array(cols["ts"], pa.timestamp("us")),
+        }
+    )
+
+
+def write_events_parquet(
+    out_dir: str, spec: FixtureSpec = UNIT, events_per_file: int = 100
+) -> int:
+    """Write the fixture as MANY small parquet files in arrival order so
+    the streaming file source yields multiple micro-batches (FIXTURES §2).
+    Returns the number of events written (including duplicates).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    cols = generate_change_events(spec)
+    table = events_arrow_table(cols)
+    n = table.num_rows
+    for fi, start in enumerate(range(0, n, events_per_file)):
+        chunk = table.slice(start, events_per_file)
+        pq.write_table(chunk, os.path.join(out_dir, f"events-{fi:06d}.parquet"))
+    return n
+
+
+def registry_rows(spec: FixtureSpec = UNIT) -> list[dict]:
+    """Schema-registry fixture (FIXTURES.md §3): v1 base, v2 add `lang`
+    with a path-extension default, v3 rename `lang` -> `language`."""
+    default_expr = (
+        "element_at(map("
+        + ", ".join(f"'{e}', '{l}'" for e, l in EXT_LANG.items())
+        + "), regexp_extract(path, '\\\\.([a-z0-9]+)$', 1))"
+    )
+    return [
+        {
+            "version": 1,
+            "effective_lsn": 0,
+            "action": "base",
+            "column": None,
+            "renamed_from": None,
+            "default_expr": None,
+        },
+        {
+            "version": 2,
+            "effective_lsn": spec.v2_lsn,
+            "action": "add",
+            "column": "lang",
+            "renamed_from": None,
+            "default_expr": default_expr,
+        },
+        {
+            "version": 3,
+            "effective_lsn": spec.v3_lsn,
+            "action": "rename",
+            "column": "language",
+            "renamed_from": "lang",
+            "default_expr": None,
+        },
+    ]

@@ -1,0 +1,3 @@
+from tartare_spark.lake.table import LakeTable
+
+__all__ = ["LakeTable"]

@@ -1,0 +1,329 @@
+"""Mini lake format: Iceberg-like snapshot-isolated table, from scratch.
+
+No Iceberg/Delta jars exist in this environment (SURVEY.md §0.2), so the
+"Iceberg table" of BASELINE.json is realized as parquet data files +
+JSON snapshot manifests + an atomically-swapped current pointer. The
+interface is deliberately narrow so a real Iceberg catalog can replace
+this class on a production cluster.
+
+Layout under ``root``::
+
+    _table.json                     # num_buckets, schema notes
+    _current                        # text file: current version number
+    _manifests/v000000000042.json   # snapshot manifest (see below)
+    data/batch-<id>/_bucket=<k>/*.parquet
+    _metrics/metrics.jsonl          # per-micro-batch throughput/lag (T7)
+
+Manifest = ``{version, batch_id, parent, schema_version,
+files: {bucket: [paths]}, bucket_lsn: {bucket: applied_lsn}, stats}``.
+
+Semantics provided (Iceberg-equivalents):
+- **snapshot isolation** — readers resolve ``_current`` once and read an
+  immutable file list; writers never mutate published files;
+- **atomic commit** — manifest + pointer written via temp + ``os.replace``
+  (atomic on POSIX); data files land before the manifest, so a crash
+  between the two leaves only unreferenced orphans (replay rewrites);
+- **exactly-once** — commits are keyed by a monotonically increasing
+  ``batch_id`` (Structured Streaming's ``foreachBatch`` epoch); a
+  re-delivered batch (``batch_id <= last_batch_id``) is a no-op
+  (SURVEY.md §2 S7; tartare analog: Environment.sequence +
+  current_ntfs_id pointer swap [PK: tartare/core/models.py]);
+- **partition pruning** — MERGE reads only the buckets touched by the
+  incoming batch (SURVEY.md §2 J3);
+- **copy-on-write** — touched buckets are rewritten wholesale; untouched
+  buckets' files are carried forward by reference;
+- **schema evolution** — renames/adds are metadata-only: the
+  physical column name never changes, ``SchemaRegistry`` maps names and
+  backfills defaults at snapshot-read time (like Iceberg field-id based
+  renames).
+
+Bucketing: ``bucket = pmod(xxhash64(repo, path), num_buckets)``. Hashing
+the full primary key (not just ``repo``) is the salting scheme that
+defeats hot-repo skew (BASELINE.json:6): the hottest repo's files spread
+uniformly over all buckets while every key still maps to exactly one
+bucket, so key-level pruning and per-bucket applied-LSN lineage both
+survive. Per-repo partition pruning is traded away deliberately — the
+CDC workload looks up by (repo, path), never by repo alone.
+
+Single-writer assumption: one streaming query (or one batch replay)
+commits at a time — same as the reference's per-coverage job queue.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# System columns stored physically in the lake (BASELINE.json:15 shape +
+# engine columns). ``_deleted`` tombstones keep last-writer-wins correct
+# under arbitrarily-late cross-batch events (a delete must not "forget"
+# its LSN, or a stale lower-LSN update would resurrect the row).
+LAKE_COLUMNS = [
+    "repo",
+    "path",
+    "commit",
+    "lang",
+    "content",
+    "_lsn",
+    "_deleted",
+    "_content_sha",
+]
+
+
+def bucket_expr(num_buckets: int):
+    return F.pmod(F.xxhash64(F.col("repo"), F.col("path")), F.lit(num_buckets)).cast(
+        "int"
+    )
+
+
+class LakeTable:
+    def __init__(self, root: str):
+        self.root = root
+        with open(os.path.join(root, "_table.json")) as f:
+            meta = json.load(f)
+        self.num_buckets: int = meta["num_buckets"]
+
+    # ------------------------------------------------------------------
+    # creation / manifest plumbing
+    # ------------------------------------------------------------------
+    @staticmethod
+    def create(root: str, num_buckets: int = 32) -> "LakeTable":
+        os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "_metrics"), exist_ok=True)
+        _atomic_write_json(
+            os.path.join(root, "_table.json"), {"num_buckets": num_buckets}
+        )
+        manifest = {
+            "version": 0,
+            "batch_id": -1,
+            "parent": None,
+            "schema_version": 1,
+            "files": {},
+            "bucket_lsn": {},
+            "stats": {"rows_written": 0},
+        }
+        _atomic_write_json(_manifest_path(root, 0), manifest)
+        _atomic_write_text(os.path.join(root, "_current"), "0")
+        return LakeTable(root)
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        return os.path.exists(os.path.join(root, "_table.json"))
+
+    def current_version(self) -> int:
+        with open(os.path.join(self.root, "_current")) as f:
+            return int(f.read().strip())
+
+    def manifest(self, version: int | None = None) -> dict[str, Any]:
+        v = self.current_version() if version is None else version
+        with open(_manifest_path(self.root, v)) as f:
+            return json.load(f)
+
+    def last_batch_id(self) -> int:
+        return int(self.manifest()["batch_id"])
+
+    # ------------------------------------------------------------------
+    # reads
+    # ------------------------------------------------------------------
+    def _files(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> list[str]:
+        m = self.manifest(version)
+        files: list[str] = []
+        want = None if buckets is None else {str(b) for b in buckets}
+        for b, fl in m["files"].items():
+            if want is None or b in want:
+                files.extend(fl)
+        return files
+
+    def read_raw(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Raw snapshot incl. tombstones & system columns, optionally
+        pruned to a bucket subset (the MERGE fast path)."""
+        files = self._files(buckets, version)
+        if not files:
+            from tartare_spark.lake.schema import RAW_LAKE_SCHEMA
+
+            return spark.createDataFrame([], RAW_LAKE_SCHEMA)
+        # ``_bucket`` is a write-side directory partition (dropped from the
+        # data files); recompute it — it is a pure codegen'd hash of the key.
+        return spark.read.parquet(*files).withColumn(
+            "_bucket", bucket_expr(self.num_buckets)
+        )
+
+    def snapshot(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        registry: "Any | None" = None,
+    ) -> DataFrame:
+        """Live rows (tombstones filtered). If a ``SchemaRegistry`` is
+        given, read-time defaults + renames for the registry version
+        effective at the snapshot watermark are applied (metadata-only
+        evolution, Iceberg-style)."""
+        df = (
+            self.read_raw(spark, version=version)
+            .filter(~F.col("_deleted"))
+            .drop("_bucket")
+        )
+        if registry is not None:
+            m = self.manifest(version)
+            watermark = max([int(v) for v in m["bucket_lsn"].values()], default=0)
+            df = registry.apply_read(df, watermark)
+        return df.drop("_deleted")
+
+    # ------------------------------------------------------------------
+    # writes
+    # ------------------------------------------------------------------
+    def write_and_commit(
+        self,
+        merged: DataFrame,
+        batch_id: int,
+        touched_buckets: list[int],
+        bucket_lsn_updates: dict[int, int],
+        schema_version: int | None = None,
+        extra_stats: dict | None = None,
+    ) -> bool:
+        """Copy-on-write commit: write ``merged`` (already restricted to
+        ``touched_buckets``, carrying a ``_bucket`` column) as new files,
+        publish a new manifest carrying forward untouched buckets.
+
+        Returns False (no-op) if ``batch_id`` was already applied.
+        """
+        if batch_id <= self.last_batch_id():
+            return False
+
+        batch_dir = os.path.join(self.root, "data", f"batch-{batch_id}-{uuid.uuid4().hex[:8]}")
+        # one shuffle: co-locate each bucket into one task → one file per
+        # bucket (plus maxRecordsPerFile splitting for huge buckets)
+        (
+            merged.repartition(max(len(touched_buckets), 1), "_bucket")
+            .write.option("maxRecordsPerFile", 2_000_000)
+            .partitionBy("_bucket")
+            .parquet(batch_dir)
+        )
+
+        new_files: dict[int, list[str]] = {b: [] for b in touched_buckets}
+        for entry in os.scandir(batch_dir):
+            if entry.name.startswith("_bucket="):
+                b = int(entry.name.split("=", 1)[1])
+                for f in os.scandir(entry.path):
+                    if f.name.endswith(".parquet"):
+                        new_files.setdefault(b, []).append(f.path)
+
+        prev = self.manifest()
+        files = dict(prev["files"])
+        for b in touched_buckets:
+            files[str(b)] = sorted(new_files.get(b, []))
+        bucket_lsn = dict(prev["bucket_lsn"])
+        for b, lsn in bucket_lsn_updates.items():
+            bucket_lsn[str(b)] = max(int(lsn), int(bucket_lsn.get(str(b), 0)))
+
+        manifest = {
+            "version": prev["version"] + 1,
+            "batch_id": batch_id,
+            "parent": prev["version"],
+            "schema_version": schema_version or prev["schema_version"],
+            "files": files,
+            "bucket_lsn": bucket_lsn,
+            "stats": {**(extra_stats or {})},
+        }
+        _atomic_write_json(_manifest_path(self.root, manifest["version"]), manifest)
+        _atomic_write_text(
+            os.path.join(self.root, "_current"), str(manifest["version"])
+        )
+        return True
+
+    # ------------------------------------------------------------------
+    # lineage & metrics (SURVEY.md §2 W3/T7; BASELINE.json:6)
+    # ------------------------------------------------------------------
+    def lineage(self) -> list[dict]:
+        """Per-bucket applied-LSN watermark progression across snapshots."""
+        out = []
+        for v in range(self.current_version() + 1):
+            m = self.manifest(v)
+            for b, lsn in m["bucket_lsn"].items():
+                out.append(
+                    {
+                        "version": v,
+                        "batch_id": m["batch_id"],
+                        "bucket": int(b),
+                        "applied_lsn": int(lsn),
+                    }
+                )
+        return out
+
+    def append_metrics(self, record: dict) -> None:
+        with open(os.path.join(self.root, "_metrics", "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+    def metrics(self) -> list[dict]:
+        p = os.path.join(self.root, "_metrics", "metrics.jsonl")
+        if not os.path.exists(p):
+            return []
+        with open(p) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    # ------------------------------------------------------------------
+    # maintenance
+    # ------------------------------------------------------------------
+    def orphan_files(self) -> list[str]:
+        """Data files on disk not referenced by the current manifest
+        (left by crashes between data write and manifest publish)."""
+        referenced = set(self._files())
+        found = []
+        data = os.path.join(self.root, "data")
+        for dirpath, _, names in os.walk(data):
+            for n in names:
+                p = os.path.join(dirpath, n)
+                if n.endswith(".parquet") and p not in referenced:
+                    found.append(p)
+        return found
+
+    def vacuum(self) -> int:
+        """Delete orphan batch dirs not referenced by ANY manifest ≤
+        current (time-travel safe for retained snapshots)."""
+        referenced: set[str] = set()
+        for v in range(self.current_version() + 1):
+            m = self.manifest(v)
+            for fl in m["files"].values():
+                referenced.update(fl)
+        removed = 0
+        data = os.path.join(self.root, "data")
+        for entry in os.scandir(data):
+            if not entry.is_dir():
+                continue
+            keep = any(f.startswith(entry.path + os.sep) for f in referenced)
+            if not keep:
+                shutil.rmtree(entry.path)
+                removed += 1
+        return removed
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(root, "_manifests", f"v{version:012d}.json")
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    _atomic_write_text(path, json.dumps(obj, indent=1))
+
+
+def _atomic_write_text(path: str, text: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)

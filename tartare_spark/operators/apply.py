@@ -1,0 +1,141 @@
+"""The per-micro-batch CDC apply: the heart of the engine.
+
+Pipeline (SURVEY.md §3.2 Entry A/B), one micro-batch in, one lake
+snapshot out:
+
+1. **A1 dedup** — max-LSN event per (repo, path) (map-side combined).
+2. **bucket & prune (J3)** — compute each key's bucket; collect the
+   touched-bucket set (bounded by ``num_buckets``, NOT by data size — the
+   only driver-side collect in the hot path).
+3. **J1 MERGE** — full-outer join vs only the touched buckets' rows;
+   last-writer-wins by LSN; tombstone deletes.
+4. **S5/S7 copy-on-write commit** — rewrite touched buckets, carry
+   untouched buckets forward, publish manifest atomically, keyed by
+   batch_id (re-delivery = no-op).
+5. **lineage + T7 metrics** — per-bucket applied-LSN watermarks and a
+   rows/sec JSONL record.
+
+Scale notes (the 100 TB story): per batch the engine shuffles (a) the
+batch once for dedup, (b) batch + touched-bucket rows once for the
+merge join, and writes touched buckets once. Nothing else moves. The
+driver never sees data rows — only the ≤num_buckets touched-bucket ids
+and scalar counters. Skew: bucketing hashes the FULL key (repo, path),
+so a hot repo spreads over all buckets (salted bucketing,
+BASELINE.json:6); AQE skew-join splitting covers residual join skew.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tartare_spark.lake.table import LakeTable, bucket_expr
+from tartare_spark.operators.dedup import dedup_latest_lsn
+from tartare_spark.operators.merge import merge_upserts
+
+EVENT_COLS = ["lsn", "op", "repo", "path", "commit", "lang", "content"]
+
+
+def apply_batch(
+    spark: SparkSession,
+    lake: LakeTable,
+    events: DataFrame,
+    batch_id: int,
+    registry=None,
+) -> dict:
+    """Apply one micro-batch of change events. Idempotent by batch_id.
+    Returns a metrics record (also appended to the lake's metrics log).
+    """
+    t0 = time.time()
+    if batch_id <= lake.last_batch_id():
+        rec = {
+            "batch_id": batch_id,
+            "skipped": True,
+            "rows": 0,
+            "seconds": time.time() - t0,
+        }
+        lake.append_metrics(rec)
+        return rec
+
+    ev = events.select(*EVENT_COLS)
+    staged = dedup_latest_lsn(ev, keys=["repo", "path"], order_col="lsn")
+    staged = staged.withColumn("_bucket", bucket_expr(lake.num_buckets))
+
+    # touched buckets + per-bucket watermark + batch size in ONE small
+    # aggregation (≤ num_buckets rows collected — scale-independent).
+    bstats = (
+        staged.groupBy("_bucket")
+        .agg(F.max("lsn").alias("max_lsn"), F.count("*").alias("keys"))
+        .collect()
+    )
+    if not bstats:
+        rec = {"batch_id": batch_id, "skipped": False, "rows": 0, "empty": True,
+               "seconds": time.time() - t0}
+        lake.append_metrics(rec)
+        return rec
+    touched = sorted(int(r["_bucket"]) for r in bstats)
+    bucket_lsn = {int(r["_bucket"]): int(r["max_lsn"]) for r in bstats}
+    n_keys = sum(int(r["keys"]) for r in bstats)
+
+    target = lake.read_raw(spark, buckets=touched)
+    merged = merge_upserts(target, staged.drop("_bucket"), lake.num_buckets)
+
+    schema_version = registry.current_version(max(bucket_lsn.values())) if registry else None
+    committed = lake.write_and_commit(
+        merged,
+        batch_id=batch_id,
+        touched_buckets=touched,
+        bucket_lsn_updates=bucket_lsn,
+        schema_version=schema_version,
+        extra_stats={"keys": n_keys},
+    )
+    dt = time.time() - t0
+    rec = {
+        "batch_id": batch_id,
+        "skipped": not committed,
+        "rows": n_keys,
+        "touched_buckets": len(touched),
+        "seconds": round(dt, 4),
+        "keys_per_sec": round(n_keys / dt, 2) if dt > 0 else None,
+    }
+    lake.append_metrics(rec)
+    return rec
+
+
+def replay_batches(
+    spark: SparkSession,
+    lake: LakeTable,
+    events: DataFrame,
+    num_chunks: int = 10,
+    registry=None,
+    start_batch_id: int = 0,
+) -> list[dict]:
+    """Entry B — bounded batch replay: split an event DataFrame into
+    LSN-ordered chunks and apply them in order (used by tests and the
+    DuckDB-oracle comparisons; the streaming path shares apply_batch).
+
+    Chunk boundary = lsn range (deterministic, order-insensitive to the
+    input's arrival order). Correctness does NOT depend on chunking:
+    last-writer-wins merge converges to the same state for any split.
+    """
+    bounds = events.select(
+        F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+    ).collect()[0]
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    span = max(1, (hi - lo + 1 + num_chunks - 1) // num_chunks)
+    out = []
+    events = events.cache()
+    try:
+        for i in range(num_chunks):
+            a, b = lo + i * span, lo + (i + 1) * span
+            chunk = events.filter((F.col("lsn") >= a) & (F.col("lsn") < b))
+            out.append(
+                apply_batch(
+                    spark, lake, chunk, batch_id=start_batch_id + i, registry=registry
+                )
+            )
+    finally:
+        events.unpersist()
+    return out

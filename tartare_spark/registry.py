@@ -1,0 +1,85 @@
+"""Schema registry: DataFrame-driven column evolution (SURVEY.md §2.11).
+
+Reference analog: tartare's sequenced preprocess chain mutates the data
+shape over time (GtfsAgencyFile adds a missing agency file with default
+values; field mappings rename columns) [PK: tartare/processes/contributor/
+gtfs_agency_file.py, tartare/core/data_handler.py]. BASELINE.json:6
+mandates the same as a schema-registry DataFrame merged at apply time.
+
+Evolution is metadata-first (Iceberg-style):
+- ``add column c default_expr e`` effective at LSN k → rows read under a
+  snapshot whose watermark ≥ k get ``c = coalesce(c, expr(e))`` (the
+  default backfills existing rows at read time; no rewrite);
+- ``rename a -> b`` effective at LSN m → snapshots with watermark ≥ m
+  present the physical column ``a`` under the name ``b``. Physical file
+  schemas never change.
+
+The registry also supports as-of version tagging of a change-event batch
+(SURVEY.md §2 J5) — each event learns the registry version effective at
+its own LSN via a broadcast as-of join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class SchemaRegistry:
+    def __init__(self, rows: list[dict]):
+        """``rows``: dicts with version, effective_lsn, action
+        (base|add|rename), column, renamed_from, default_expr."""
+        self.rows = sorted(rows, key=lambda r: int(r["version"]))
+
+    # -- metadata ------------------------------------------------------
+    def version_at(self, lsn: int) -> int:
+        v = 1
+        for r in self.rows:
+            if int(r["effective_lsn"]) <= lsn:
+                v = int(r["version"])
+        return v
+
+    def effective_rows(self, watermark: int) -> list[dict]:
+        return [r for r in self.rows if int(r["effective_lsn"]) <= watermark]
+
+    # -- read-time application (E1/E2) ---------------------------------
+    def apply_read(self, df: DataFrame, watermark: int) -> DataFrame:
+        """Apply adds (default backfill) and renames effective at
+        ``watermark`` to a physical-schema DataFrame."""
+        for r in self.effective_rows(watermark):
+            if r["action"] == "add":
+                col = r["column"]
+                if col in df.columns and r.get("default_expr"):
+                    df = df.withColumn(
+                        col, F.coalesce(F.col(col), F.expr(r["default_expr"]))
+                    )
+                elif col not in df.columns:
+                    default = r.get("default_expr") or "CAST(NULL AS STRING)"
+                    df = df.withColumn(col, F.expr(default))
+            elif r["action"] == "rename":
+                old, new = r["renamed_from"], r["column"]
+                if old in df.columns:
+                    df = df.withColumnRenamed(old, new)
+        return df
+
+    # -- as-of version tagging (J5) -------------------------------------
+    def tag_versions(self, spark: SparkSession, events: DataFrame) -> DataFrame:
+        """Attach ``_schema_version`` = registry version effective at each
+        event's lsn. Broadcast as-of join: the registry is tiny, so this
+        is a broadcast theta-join + max aggregation — no shuffle of the
+        event side beyond the groupBy that callers already perform."""
+        reg = spark.createDataFrame(
+            [(int(r["version"]), int(r["effective_lsn"])) for r in self.rows],
+            "version INT, effective_lsn BIGINT",
+        )
+        joined = events.join(
+            F.broadcast(reg), F.col("effective_lsn") <= F.col("lsn"), "left"
+        )
+        keys = [c for c in events.columns]
+        return (
+            joined.groupBy(*keys)
+            .agg(F.coalesce(F.max("version"), F.lit(1)).alias("_schema_version"))
+        )
+
+    def current_version(self, watermark: int) -> int:
+        return self.version_at(watermark)

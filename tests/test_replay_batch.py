@@ -1,0 +1,115 @@
+"""M1/M2: batch replay end-to-end equality vs the pandas referee —
+the judge invariant (BASELINE.json:6,15): per-row sha256(content)
+equality + full-row exceptAll both ways."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from tartare_spark.fixtures import (
+    UNIT,
+    generate_change_events,
+    registry_rows,
+)
+from tartare_spark.lake.table import LakeTable
+from tartare_spark.operators.apply import apply_batch, replay_batches
+from tartare_spark.oracle import replay_referee
+from tartare_spark.registry import SchemaRegistry
+
+
+@pytest.fixture(scope="module")
+def unit_events(spark, unit_events_dir):
+    return spark.read.parquet(f"{unit_events_dir}/*.parquet")
+
+
+def assert_state_equals_referee(spark, lake, registry=None, reg_rows=None):
+    engine = lake.snapshot(
+        spark, registry=SchemaRegistry(reg_rows) if reg_rows else None
+    )
+    ev_pd = pd.DataFrame(generate_change_events(UNIT))
+    expected = replay_referee(ev_pd, reg_rows)
+    exp_df = spark.createDataFrame(expected)
+
+    assert sorted(engine.columns) == sorted(expected.columns.tolist())
+    engine = engine.select(*expected.columns.tolist())
+
+    # judged invariant: per-row content sha multiset equality
+    only_engine = engine.exceptAll(exp_df)
+    only_expected = exp_df.exceptAll(engine)
+    assert only_engine.count() == 0, only_engine.limit(5).collect()
+    assert only_expected.count() == 0, only_expected.limit(5).collect()
+
+    # sha sanity: stored sha really is sha2(content)
+    bad = engine.filter(
+        F.col("_content_sha") != F.sha2(F.coalesce("content", F.lit("")), 256)
+    )
+    assert bad.count() == 0
+
+
+def test_batch_replay_matches_referee(spark, unit_events, tmp_path):
+    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=16)
+    recs = replay_batches(spark, lake, unit_events, num_chunks=8)
+    assert all(not r.get("skipped") for r in recs)
+    assert_state_equals_referee(spark, lake)
+
+
+def test_single_batch_replay_same_state(spark, unit_events, tmp_path):
+    """Chunking must not change the result (order-insensitive merge)."""
+    lake = LakeTable.create(str(tmp_path / "lake1"), num_buckets=16)
+    replay_batches(spark, lake, unit_events, num_chunks=1)
+    assert_state_equals_referee(spark, lake)
+
+
+def test_idempotent_redelivery(spark, unit_events, tmp_path):
+    """S7: re-applying an already-committed batch_id is a no-op."""
+    lake = LakeTable.create(str(tmp_path / "lake2"), num_buckets=8)
+    replay_batches(spark, lake, unit_events, num_chunks=4)
+    v = lake.current_version()
+    rec = apply_batch(spark, lake, unit_events, batch_id=3)  # redelivery
+    assert rec["skipped"] is True
+    assert lake.current_version() == v
+    assert_state_equals_referee(spark, lake)
+
+
+def test_replay_with_registry(spark, unit_events, tmp_path):
+    """M4: schema evolution — final schema has `language`, null langs
+    backfilled from path extension."""
+    reg_rows = registry_rows(UNIT)
+    lake = LakeTable.create(str(tmp_path / "lake3"), num_buckets=16)
+    replay_batches(
+        spark, lake, unit_events, num_chunks=6, registry=SchemaRegistry(reg_rows)
+    )
+    assert_state_equals_referee(spark, lake, reg_rows=reg_rows)
+
+
+def test_lineage_monotonic(spark, unit_events, tmp_path):
+    lake = LakeTable.create(str(tmp_path / "lake4"), num_buckets=8)
+    replay_batches(spark, lake, unit_events, num_chunks=5)
+    lineage = lake.lineage()
+    by_bucket = {}
+    for row in sorted(lineage, key=lambda r: r["version"]):
+        prev = by_bucket.get(row["bucket"], 0)
+        assert row["applied_lsn"] >= prev
+        by_bucket[row["bucket"]] = row["applied_lsn"]
+    assert max(by_bucket.values()) == UNIT.n_events
+
+
+def test_snapshot_isolation_time_travel(spark, unit_events, tmp_path):
+    """Old snapshot versions stay readable after later commits."""
+    lake = LakeTable.create(str(tmp_path / "lake5"), num_buckets=8)
+    replay_batches(spark, lake, unit_events, num_chunks=4)
+    v_mid = 2
+    n_mid = lake.snapshot(spark, version=v_mid).count()
+    n_final = lake.snapshot(spark).count()
+    assert n_mid > 0
+    # re-reading the old version after more commits gives the same count
+    assert lake.snapshot(spark, version=v_mid).count() == n_mid
+    assert n_final != n_mid or lake.current_version() == v_mid
+
+
+def test_vacuum_keeps_referenced(spark, unit_events, tmp_path):
+    lake = LakeTable.create(str(tmp_path / "lake6"), num_buckets=8)
+    replay_batches(spark, lake, unit_events, num_chunks=3)
+    before = lake.snapshot(spark).count()
+    lake.vacuum()  # nothing unreferenced should disappear
+    assert lake.snapshot(spark).count() == before
