@@ -1,0 +1,1190 @@
+"""Driver-facing demo registry: every SURVEY.md §2 operator as a
+(spark query, DuckDB oracle SQL) pair over /root/testdata tables.
+
+Contract (``__spark_entry__.py``): each ``SPARK[name](spark, sf_dir)``
+returns a DataFrame; ``ORACLE[name]`` is ANSI SQL DuckDB runs on views
+``region nation customer supplier part orders lineitem events documents
+embeddings`` over the same parquet. Column names/aliases match exactly
+on both sides; float aggregates are rounded identically on both sides.
+
+Ops with no oracle entry (streaming/sink semantics) are covered by
+pytest instead (tests/test_streaming.py, tests/test_replay_batch.py).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SPARK: dict = {}
+ORACLE: dict[str, str] = {}
+
+
+def demo(name: str, sql: str | None = None):
+    def wrap(fn):
+        SPARK[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return wrap
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ======================================================================
+# CDC flagship — the engine end-to-end on driver data (S5+A1+J1+S7)
+# ======================================================================
+def _events_as_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's events table onto the binlog shape (FIXTURES §6):
+    user_id → key, event_id → lsn, event_type 'error' → delete."""
+    ev = T(spark, sf_dir, "events")
+    is_del = F.col("event_type") == "error"
+    return ev.select(
+        (F.col("event_id") + 1).alias("lsn"),
+        F.when(is_del, "delete").otherwise("update").alias("op"),
+        F.concat(F.lit("repo_"), (F.col("user_id") % 8).cast("string")).alias("repo"),
+        F.concat(F.lit("u/"), F.col("user_id").cast("string")).alias("path"),
+        F.substring(
+            F.md5(F.concat(F.col("event_type"), F.col("event_id").cast("string"))), 1, 12
+        ).alias("commit"),
+        F.lit(None).cast("string").alias("lang"),
+        F.when(is_del, "")
+        .otherwise(F.concat(F.col("props"), F.lit("|"), F.col("event_id").cast("string")))
+        .alias("content"),
+        F.col("ts"),
+    )
+
+
+_CDC_SQL = """
+WITH ch AS (
+  SELECT event_id + 1 AS lsn,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+         'repo_' || CAST(user_id % 8 AS VARCHAR) AS repo,
+         'u/' || CAST(user_id AS VARCHAR) AS path,
+         substr(md5(event_type || CAST(event_id AS VARCHAR)), 1, 12) AS "commit",
+         CASE WHEN event_type = 'error' THEN ''
+              ELSE props || '|' || CAST(event_id AS VARCHAR) END AS content
+  FROM events
+), last AS (
+  SELECT repo, path,
+         arg_max(op, lsn) AS op,
+         arg_max("commit", lsn) AS "commit",
+         arg_max(content, lsn) AS content,
+         max(lsn) AS _lsn
+  FROM ch GROUP BY repo, path
+)
+SELECT repo, path, "commit", content, _lsn, sha256(content) AS _content_sha
+FROM last WHERE op <> 'delete'
+"""
+
+
+@demo("cdc_apply_current_state", _CDC_SQL)
+def cdc_apply_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the REAL engine (batch replay → lake → snapshot): 'what is
+    the current content of every (repo, path)?'"""
+    from tartare_spark.lake.table import LakeTable
+    from tartare_spark.operators.apply import replay_batches
+
+    ch = _events_as_changelog(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="tartare_demo_lake_")
+    lake = LakeTable.create(os.path.join(root, "lake"), num_buckets=16)
+    replay_batches(spark, lake, ch, num_chunks=4)
+    return lake.snapshot(spark).select(
+        "repo", "path", "commit", "content", "_lsn", "_content_sha"
+    )
+
+
+# ======================================================================
+# 2.1 scans / sources / sinks
+# ======================================================================
+@demo("s1_scan_lake", "SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders FROM lineitem")
+def s1_scan_lake(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@demo(
+    "s4_csv_source",
+    "SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name "
+    "FROM nation GROUP BY n_regionkey",
+)
+def s4_csv_source(spark, sf_dir):
+    """Round-trip nation through CSV (GTFS files are CSVs-in-zip —
+    [PK: tartare/core/validity_period_finder.py parses calendar CSVs])."""
+    nation = T(spark, sf_dir, "nation")
+    out = tempfile.mkdtemp(prefix="tartare_csv_")
+    nation.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.option("header", True)
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .csv(out)
+    )
+    return back.groupBy("n_regionkey").agg(
+        F.count("*").alias("n"), F.min("n_name").alias("first_name")
+    )
+
+
+@demo(
+    "s6_publish_export",
+    "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars "
+    "FROM documents GROUP BY lang",
+)
+def s6_publish_export(spark, sf_dir):
+    """Partitioned publish + re-read (tartare platform publish analog
+    [PK: tartare/core/publisher.py])."""
+    docs = T(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="tartare_pub_")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@demo(
+    "s2_changelog_tail_counts",
+    "SELECT event_id // 1000 AS batch_no, count(*) AS n FROM events GROUP BY 1",
+)
+def s2_changelog_tail_counts(spark, sf_dir):
+    """Batch view of the micro-batch boundaries the stream source would
+    produce (true streaming covered in tests/test_streaming.py)."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("event_id") / 1000).cast("bigint").alias("batch_no")
+    ).agg(F.count("*").alias("n"))
+
+
+@demo(
+    "s3_conditional_ingest",
+    """
+    WITH h AS (SELECT doc_id, md5(text) AS fp FROM documents)
+    SELECT count(*) AS n_changed FROM h a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM h b WHERE b.fp = a.fp AND b.doc_id < a.doc_id)
+    """,
+)
+def s3_conditional_ingest(spark, sf_dir):
+    """Skip-unchanged semantics: rows whose checksum was already seen
+    under a smaller id are 'unchanged re-fetches' and are skipped
+    [PK: tartare/core/fetcher.py md5 compare]."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    seen_earlier = docs.alias("a").join(
+        docs.alias("b"),
+        (F.col("b.fp") == F.col("a.fp")) & (F.col("b.doc_id") < F.col("a.doc_id")),
+        "left_anti",
+    )
+    return seen_earlier.agg(F.count("*").alias("n_changed"))
+
+
+# ======================================================================
+# 2.2 projections / filters
+# ======================================================================
+@demo(
+    "p1_project_rename",
+    "SELECT n_nationkey, r_name || '_' || n_name AS prefixed_name "
+    "FROM nation JOIN region ON n_regionkey = r_regionkey",
+)
+def p1_project_rename(spark, sf_dir):
+    """ID-prefixing on merge (tartare data_prefix [PK:
+    tartare/core/calendar_handler.py])."""
+    nation, region = T(spark, sf_dir, "nation"), T(spark, sf_dir, "region")
+    return nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(
+        "n_nationkey",
+        F.concat_ws("_", "r_name", "n_name").alias("prefixed_name"),
+    )
+
+
+@demo(
+    "p2_filter_predicate",
+    "SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty FROM lineitem "
+    "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY l_returnflag",
+)
+def p2_filter_predicate(spark, sf_dir):
+    """Pushdown demo — .explain shows PushedFilters on l_shipdate and a
+    3-column ReadSchema."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+@demo(
+    "p3_op_router",
+    "SELECT CASE WHEN event_type = 'error' THEN 'delete' "
+    "WHEN event_type = 'signup' THEN 'insert' ELSE 'update' END AS op, "
+    "count(*) AS n FROM events GROUP BY 1",
+)
+def p3_op_router(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", "delete")
+        .when(F.col("event_type") == "signup", "insert")
+        .otherwise("update")
+    )
+    return ev.groupBy(op.alias("op")).agg(F.count("*").alias("n"))
+
+
+# ======================================================================
+# 2.3 joins
+# ======================================================================
+@demo(
+    "j1_merge_full_outer",
+    """
+    SELECT CASE WHEN o_orderkey IS NULL THEN 'customer_only'
+                WHEN c_custkey IS NULL THEN 'order_only'
+                ELSE 'matched' END AS presence,
+           count(*) AS n
+    FROM (SELECT DISTINCT o_custkey, min(o_orderkey) AS o_orderkey
+          FROM orders GROUP BY o_custkey) o
+    FULL OUTER JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
+def j1_merge_full_outer(spark, sf_dir):
+    """Full-outer reconciliation (the MERGE core, production path in
+    operators/merge.py)."""
+    orders = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.min("o_orderkey").alias("o_orderkey"))
+    )
+    cust = T(spark, sf_dir, "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey, "full_outer")
+    presence = (
+        F.when(F.col("o_orderkey").isNull(), "customer_only")
+        .when(F.col("c_custkey").isNull(), "order_only")
+        .otherwise("matched")
+    )
+    return j.groupBy(presence.alias("presence")).agg(F.count("*").alias("n"))
+
+
+@demo(
+    "j2_equi_join_broadcast",
+    "SELECT p_brand, count(*) AS n, sum(l_quantity) AS sum_qty "
+    "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand",
+)
+def j2_equi_join_broadcast(spark, sf_dir):
+    """Small-dim enrichment → broadcast hash join (tartare
+    ComputeDirections config join [PK: tartare/processes/contributor/
+    compute_directions.py])."""
+    li, part = T(spark, sf_dir, "lineitem"), T(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+@demo(
+    "j3_semi_join_affected",
+    "SELECT o_orderpriority, count(*) AS n FROM orders "
+    "WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') "
+    "GROUP BY o_orderpriority",
+)
+def j3_semi_join_affected(spark, sf_dir):
+    """Restrict to affected keys (tartare re-exports only affected
+    coverages [PK: tartare/tasks.py automatic_update])."""
+    orders, cust = T(spark, sf_dir, "orders"), T(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        orders.join(building, orders.o_custkey == building.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@demo(
+    "j4_anti_join_orphans",
+    "SELECT c_mktsegment, count(*) AS n FROM customer "
+    "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) GROUP BY c_mktsegment",
+)
+def j4_anti_join_orphans(spark, sf_dir):
+    cust, orders = T(spark, sf_dir, "customer"), T(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@demo(
+    "j5_asof_schema_version",
+    """
+    WITH n AS (SELECT max(event_id) AS m FROM events),
+    v AS (SELECT 1 AS version, 0 AS eff FROM n
+          UNION ALL SELECT 2, m // 3 FROM n
+          UNION ALL SELECT 3, 2 * m // 3 FROM n)
+    SELECT (SELECT max(version) FROM v WHERE eff <= event_id) AS version,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def j5_asof_schema_version(spark, sf_dir):
+    """As-of join: registry version effective at each event's LSN
+    (operators/asof.py, the J5 primitive used by the registry)."""
+    from tartare_spark.operators.asof import asof_join_broadcast
+
+    ev = T(spark, sf_dir, "events").select("event_id")
+    m = ev.agg(F.max("event_id")).collect()[0][0]
+    versions = spark.createDataFrame(
+        [(1, 0), (2, m // 3), (3, 2 * m // 3)], "version INT, eff BIGINT"
+    )
+    tagged = asof_join_broadcast(
+        ev, versions, left_on="event_id", right_on="eff", payload=["version"]
+    )
+    return tagged.groupBy("version").agg(F.count("*").alias("n"))
+
+
+@demo(
+    "j6_interval_overlap",
+    """
+    WITH iv AS (SELECT o_custkey AS k, min(o_orderdate) AS s, max(o_orderdate) AS e
+                FROM orders WHERE o_custkey < 80 GROUP BY o_custkey)
+    SELECT a.k AS k_a, b.k AS k_b FROM iv a JOIN iv b
+    ON a.k < b.k AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def j6_interval_overlap(spark, sf_dir):
+    """Validity-interval overlap (tartare ValidityPeriod.union
+    [PK: tartare/core/validity_period_finder.py]); bounded key range —
+    the scale path adds a coarse time-bucket equi key first."""
+    iv = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 80)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.min("o_orderdate").alias("s"), F.max("o_orderdate").alias("e"))
+    )
+    a, b = iv.alias("a"), iv.alias("b")
+    return a.join(
+        b,
+        (F.col("a.k") < F.col("b.k"))
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e")),
+    ).select(F.col("a.k").alias("k_a"), F.col("b.k").alias("k_b"))
+
+
+@demo(
+    "j7_sort_merge_join",
+    "SELECT o_orderstatus, count(*) AS n, sum(l_quantity) AS sum_qty "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus",
+)
+def j7_sort_merge_join(spark, sf_dir):
+    """Large-large equi join: broadcast disabled so Catalyst picks a
+    shuffled join (SMJ / AQE-switched)."""
+    li = T(spark, sf_dir, "lineitem").hint("merge")
+    orders = T(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+# ======================================================================
+# 2.4 aggregations
+# ======================================================================
+@demo(
+    "a1_dedup_latest_lsn",
+    """
+    SELECT event_type, count(*) AS n_users FROM (
+      SELECT user_id, arg_max(event_type, event_id) AS event_type
+      FROM events GROUP BY user_id)
+    GROUP BY event_type
+    """,
+)
+def a1_dedup_latest_lsn(spark, sf_dir):
+    """Latest event per key via max_by — the production A1 operator."""
+    from tartare_spark.operators.dedup import dedup_latest_lsn
+
+    ev = T(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    latest = dedup_latest_lsn(ev, keys=["user_id"], order_col="event_id")
+    return latest.groupBy("event_type").agg(F.count("*").alias("n_users"))
+
+
+@demo(
+    "a2_validity_period",
+    "SELECT l_returnflag, min(l_shipdate) AS period_start, "
+    "max(l_shipdate) AS period_end, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+)
+def a2_validity_period(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.min("l_shipdate").alias("period_start"),
+        F.max("l_shipdate").alias("period_end"),
+        F.count("*").alias("n"),
+    )
+
+
+@demo(
+    "a3_salted_two_phase_agg",
+    "SELECT user_id, count(*) AS n FROM events GROUP BY user_id",
+)
+def a3_salted_two_phase_agg(spark, sf_dir):
+    """Two-phase salted count == plain count (the salt cancels out);
+    the oracle is the plain form, proving equivalence."""
+    from tartare_spark.operators.salt import salted_count
+
+    ev = T(spark, sf_dir, "events")
+    return salted_count(ev, key="user_id", entropy_cols=["event_id"], n_salts=16)
+
+
+@demo(
+    "a4_distinct_count",
+    "SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp FROM lineitem "
+    "GROUP BY l_returnflag",
+)
+def a4_distinct_count(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+
+
+@demo("a4b_approx_distinct")  # no oracle: approximate by design (rows-only)
+def a4b_approx_distinct(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_supp_approx")
+    )
+
+
+@demo(
+    "a5_rollup_job_stats",
+    "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders "
+    "GROUP BY ROLLUP (o_orderstatus, o_orderpriority)",
+)
+def a5_rollup_job_stats(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+
+
+@demo(
+    "a6_grouped_collect",
+    "SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types "
+    "FROM events GROUP BY user_id",
+)
+def a6_grouped_collect(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("event_type"))).alias("types")
+    )
+
+
+# ======================================================================
+# 2.5 windows
+# ======================================================================
+@demo(
+    "w1_rank_versions",
+    """
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def w1_rank_versions(spark, sf_dir):
+    from tartare_spark.operators.dedup import dedup_latest_window
+
+    ev = T(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    return dedup_latest_window(ev, keys=["user_id"], order_col="event_id")
+
+
+@demo(
+    "w2_lag_delta",
+    "SELECT user_id, event_id, round(value - lag(value) OVER "
+    "(PARTITION BY user_id ORDER BY event_id), 4) AS delta FROM events",
+)
+def w2_lag_delta(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )
+
+
+@demo(
+    "w3_running_watermark",
+    "SELECT user_id, event_id, max(event_id) OVER (PARTITION BY user_id "
+    "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS applied_lsn FROM events",
+)
+def w3_running_watermark(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id", F.max("event_id").over(w).alias("applied_lsn")
+    )
+
+
+@demo(
+    "w4_moving_avg",
+    "SELECT user_id, event_id, round(avg(value) OVER (PARTITION BY user_id "
+    "ORDER BY event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg "
+    "FROM events",
+)
+def w4_moving_avg(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-3, 0)
+    return ev.select(
+        "user_id", "event_id", F.round(F.avg("value").over(w), 4).alias("mov_avg")
+    )
+
+
+# ======================================================================
+# 2.6 sorts / top-k
+# ======================================================================
+@demo(
+    "o1_topk_hot_repos",
+    "SELECT user_id, count(*) AS n FROM events GROUP BY user_id "
+    "ORDER BY n DESC, user_id ASC LIMIT 10",
+)
+def o1_topk_hot_repos(spark, sf_dir):
+    from tartare_spark.operators.salt import topk_hot_keys
+
+    return topk_hot_keys(T(spark, sf_dir, "events"), key="user_id", k=10)
+
+
+@demo(
+    "o2_ordered_export",
+    "SELECT n_nationkey, n_name FROM nation ORDER BY n_name",
+)
+def o2_ordered_export(spark, sf_dir):
+    return T(spark, sf_dir, "nation").select("n_nationkey", "n_name").orderBy("n_name")
+
+
+# ======================================================================
+# 2.7 set ops
+# ======================================================================
+@demo(
+    "u1_union_feeds",
+    """
+    SELECT o_orderpriority, count(*) AS n FROM (
+      SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, NULL AS o_orderpriority FROM orders WHERE o_orderkey % 2 = 1
+    ) GROUP BY o_orderpriority
+    """,
+)
+def u1_union_feeds(spark, sf_dir):
+    """unionByName with missing columns (tartare merges contributor
+    exports with differing files [PK: tartare/tasks.py coverage_export])."""
+    orders = T(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    b = orders.filter(F.col("o_orderkey") % 2 == 1).select("o_orderkey")
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@demo(
+    "u2_state_diff",
+    """
+    SELECT count(*) AS n_diffs FROM (
+      SELECT * FROM lineitem EXCEPT ALL SELECT * FROM lineitem)
+    """,
+)
+def u2_state_diff(spark, sf_dir):
+    """exceptAll both-ways is the judge-invariant harness (used in
+    tests/test_replay_batch.py against the referee)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.exceptAll(li).agg(F.count("*").alias("n_diffs"))
+
+
+@demo(
+    "u3_common_keys",
+    """
+    SELECT count(*) AS n_common FROM (
+      SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+    """,
+)
+def u3_common_keys(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    early = orders.filter(F.col("o_orderdate") < "1997-01-01").select("o_custkey")
+    late = orders.filter(F.col("o_orderdate") >= "1997-01-01").select("o_custkey")
+    return early.intersect(late).agg(F.count("*").alias("n_common"))
+
+
+# ======================================================================
+# 2.8 scalar functions
+# ======================================================================
+@demo(
+    "f1_string_normalize",
+    "SELECT c_custkey, regexp_replace(lower(trim(c_name)), '\\s+', ' ', 'g') AS norm_name "
+    "FROM customer WHERE c_custkey < 100",
+)
+def f1_string_normalize(spark, sf_dir):
+    from tartare_spark.functions import string_normalize
+
+    cust = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    return cust.select("c_custkey", string_normalize("c_name").alias("norm_name"))
+
+
+@demo(
+    "f2_lang_tag",
+    """
+    SELECT doc_id,
+           CASE regexp_extract('f_' || CAST(doc_id AS VARCHAR) || '.' ||
+                CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'py' WHEN 1 THEN 'rs' ELSE 'md' END,
+                '\\.([a-z0-9]+)$', 1)
+             WHEN 'py' THEN 'python' WHEN 'rs' THEN 'rust' WHEN 'ts' THEN 'typescript'
+             WHEN 'go' THEN 'go' WHEN 'java' THEN 'java' WHEN 'md' THEN 'markdown'
+             WHEN 'toml' THEN 'toml' END AS lang_tag
+    FROM documents
+    """,
+)
+def f2_lang_tag(spark, sf_dir):
+    from tartare_spark.functions import lang_tag
+
+    docs = T(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("f_"),
+        F.col("doc_id").cast("string"),
+        F.lit("."),
+        F.when(F.col("doc_id") % 3 == 0, "py")
+        .when(F.col("doc_id") % 3 == 1, "rs")
+        .otherwise("md"),
+    )
+    return docs.select("doc_id", lang_tag(path).alias("lang_tag"))
+
+
+@demo(
+    "f3_date_arith",
+    "SELECT o_orderkey, date_diff('day', TIMESTAMP '1995-01-01', "
+    "least(greatest(o_orderdate, TIMESTAMP '1995-01-01'), TIMESTAMP '1996-12-31')) "
+    "AS capped_days FROM orders WHERE o_orderkey < 1000",
+)
+def f3_date_arith(spark, sf_dir):
+    from tartare_spark.functions import cap_date
+
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    capped = cap_date(
+        "o_orderdate",
+        F.to_timestamp(F.lit("1995-01-01")).cast("timestamp"),
+        F.to_timestamp(F.lit("1996-12-31")),
+    )
+    return orders.select(
+        "o_orderkey",
+        F.datediff(capped, F.to_timestamp(F.lit("1995-01-01"))).cast("long").alias(
+            "capped_days"
+        ),
+    )
+
+
+@demo(
+    "f4_hash_invariant",
+    "SELECT doc_id, sha256(text) AS sha, md5(text) AS m FROM documents",
+)
+def f4_hash_invariant(spark, sf_dir):
+    docs = T(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.sha2("text", 256).alias("sha"), F.md5("text").alias("m")
+    )
+
+
+@demo(
+    "f5_json_settings",
+    "SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k "
+    "FROM events GROUP BY event_type",
+)
+def f5_json_settings(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k")
+    )
+
+
+@demo(
+    "f6_array_map_ops",
+    "SELECT vec_id, len(embedding) AS dim, "
+    "round(CAST(embedding[1] AS DOUBLE), 4) AS first_val, "
+    "round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 4) "
+    "AS sum_val FROM embeddings",
+)
+def f6_array_map_ops(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.col("embedding")[0].cast("double"), 4).alias("first_val"),
+        F.round(
+            F.aggregate(
+                "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            4,
+        ).alias("sum_val"),
+    )
+
+
+# ======================================================================
+# 2.9 streaming analogs (true streaming: tests/test_streaming.py)
+# ======================================================================
+@demo(
+    "t3_tumbling_metrics",
+    "SELECT date_trunc('minute', ts) AS w_start, count(*) AS n_events "
+    "FROM events GROUP BY 1",
+)
+def t3_tumbling_metrics(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(F.window("ts", "1 minute").alias("w")).agg(
+        F.count("*").alias("n_events")
+    ).select(F.col("w.start").alias("w_start"), "n_events")
+
+
+@demo(
+    "t4_session_windows",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  > INTERVAL 30 MINUTE THEN 1
+                  WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+                  ELSE 0 END AS new_sess
+      FROM events)
+    SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions
+    FROM g GROUP BY user_id
+    """,
+)
+def t4_session_windows(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+    )
+
+
+# ======================================================================
+# 2.10 vectorized UDF surface
+# ======================================================================
+@demo(
+    "d1_pandas_scalar_udf",
+    "SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(text, "
+    "'\\r\\n', chr(10), 'g'), '\\t', '    ', 'g'), ' +\\n', chr(10), 'g')) AS norm_text "
+    "FROM documents",
+)
+def d1_pandas_scalar_udf(spark, sf_dir):
+    from tartare_spark.operators.text import normalize_content
+
+    docs = T(spark, sf_dir, "documents")
+    return docs.select("doc_id", normalize_content("text").alias("norm_text"))
+
+
+@demo(
+    "d2_pandas_grouped_agg",
+    """
+    SELECT event_type,
+           round(sum(value * CAST(json_extract_string(props, '$.k') AS DOUBLE)) /
+                 sum(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS wmean
+    FROM events GROUP BY event_type
+    """,
+)
+def d2_pandas_grouped_agg(spark, sf_dir):
+    from tartare_spark.functions.udafs import weighted_mean
+
+    ev = T(spark, sf_dir, "events").withColumn(
+        "w", F.get_json_object("props", "$.k").cast("double")
+    )
+    return ev.groupBy("event_type").agg(
+        F.round(weighted_mean(F.col("value"), F.col("w")), 6).alias("wmean")
+    )
+
+
+@demo(
+    "d3_apply_in_pandas",
+    """
+    SELECT user_id, event_id,
+           round((value - avg(value) OVER (PARTITION BY user_id)) /
+                 stddev_samp(value) OVER (PARTITION BY user_id), 4) AS z
+    FROM events
+    """,
+)
+def d3_apply_in_pandas(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").select("user_id", "event_id", "value")
+
+    def zscore(pdf):
+        v = pdf["value"]
+        pdf = pdf.assign(z=((v - v.mean()) / v.std(ddof=1)).round(4))
+        return pdf[["user_id", "event_id", "z"]]
+
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, "user_id long, event_id long, z double"
+    )
+
+
+@demo(
+    "d4_udtf_diff_explode",
+    """
+    SELECT event_id, unnest(generate_series(1,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 + 1)) AS i
+    FROM events WHERE event_id < 1000
+    """,
+)
+def d4_udtf_diff_explode(spark, sf_dir):
+    """Composite payload → one row per element; explode stays vectorized
+    (preferred over a Python UDTF, SURVEY §2 D4)."""
+    ev = T(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    n = F.get_json_object("props", "$.k").cast("long") % 3 + 1
+    return ev.select(
+        "event_id", F.explode(F.sequence(F.lit(1).cast("long"), n)).alias("i")
+    )
+
+
+# ======================================================================
+# 2.11 schema evolution
+# ======================================================================
+@demo(
+    "e1_evolve_add_column",
+    "SELECT n_nationkey, n_name, CASE WHEN n_regionkey = 0 THEN 'AFR' "
+    "WHEN n_regionkey = 1 THEN 'AME' WHEN n_regionkey = 2 THEN 'ASI' "
+    "WHEN n_regionkey = 3 THEN 'EUR' ELSE 'MEA' END AS region_code FROM nation",
+)
+def e1_evolve_add_column(spark, sf_dir):
+    from tartare_spark.registry import SchemaRegistry
+
+    reg = SchemaRegistry(
+        [
+            {"version": 1, "effective_lsn": 0, "action": "base", "column": None,
+             "renamed_from": None, "default_expr": None},
+            {"version": 2, "effective_lsn": 5, "action": "add", "column": "region_code",
+             "renamed_from": None,
+             "default_expr": "CASE WHEN n_regionkey = 0 THEN 'AFR' "
+             "WHEN n_regionkey = 1 THEN 'AME' WHEN n_regionkey = 2 THEN 'ASI' "
+             "WHEN n_regionkey = 3 THEN 'EUR' ELSE 'MEA' END"},
+        ]
+    )
+    nation = T(spark, sf_dir, "nation")
+    return reg.apply_read(nation, watermark=10).select(
+        "n_nationkey", "n_name", "region_code"
+    )
+
+
+@demo(
+    "e2_evolve_rename_column",
+    "SELECT r_regionkey, r_name AS region_name FROM region",
+)
+def e2_evolve_rename_column(spark, sf_dir):
+    from tartare_spark.registry import SchemaRegistry
+
+    reg = SchemaRegistry(
+        [
+            {"version": 1, "effective_lsn": 0, "action": "base", "column": None,
+             "renamed_from": None, "default_expr": None},
+            {"version": 2, "effective_lsn": 5, "action": "rename",
+             "column": "region_name", "renamed_from": "r_name", "default_expr": None},
+        ]
+    )
+    region = T(spark, sf_dir, "region")
+    return reg.apply_read(region, watermark=10).select("r_regionkey", "region_name")
+
+
+@demo(
+    "e3_registry_merge",
+    """
+    WITH n AS (SELECT max(event_id) AS m FROM events),
+    v AS (SELECT 1 AS version, 0 AS eff FROM n
+          UNION ALL SELECT 2, m // 3 FROM n
+          UNION ALL SELECT 3, 2 * m // 3 FROM n)
+    SELECT (SELECT max(version) FROM v WHERE eff <= event_id) AS version,
+           CASE WHEN (SELECT max(version) FROM v WHERE eff <= event_id) >= 2
+                THEN 'tagged' ELSE 'untagged' END AS tag,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def e3_registry_merge(spark, sf_dir):
+    """J5 as-of + E1 add composition: events tagged with their effective
+    schema version and the version-gated derived column."""
+    from tartare_spark.operators.asof import asof_join_broadcast
+
+    ev = T(spark, sf_dir, "events").select("event_id")
+    m = ev.agg(F.max("event_id")).collect()[0][0]
+    versions = spark.createDataFrame(
+        [(1, 0), (2, m // 3), (3, 2 * m // 3)], "version INT, eff BIGINT"
+    )
+    tagged = asof_join_broadcast(
+        ev, versions, left_on="event_id", right_on="eff", payload=["version"]
+    )
+    return tagged.select(
+        "version",
+        F.when(F.col("version") >= 2, "tagged").otherwise("untagged").alias("tag"),
+        "event_id",
+    ).groupBy("version", "tag").agg(F.count("*").alias("n"))
+
+
+# ======================================================================
+# Training-data pipeline ops (task brief): dedup / similarity / text /
+# multimodal — first-class components alongside SURVEY §2.
+# ======================================================================
+_NORM_SQL = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@demo(
+    "dd1_exact_dedup",
+    f"""
+    SELECT md5({_NORM_SQL}) AS fp, count(*) AS n_dups, min(doc_id) AS keep_id
+    FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def dd1_exact_dedup(spark, sf_dir):
+    from tartare_spark.operators.dedup_docs import exact_dedup_groups
+
+    return exact_dedup_groups(T(spark, sf_dir, "documents"))
+
+
+_MINHASH_SQL = """
+WITH docs AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents WHERE doc_id % 5 = 0
+), toks AS (
+  SELECT doc_id, norm, regexp_split_to_array(norm, ' ') AS t FROM docs
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in range(1, len(t) - 1)])
+              ELSE [norm] END AS shingles
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+         [list_min([CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT)
+                    for s in shingles])
+          for k in range(0, 12)] AS sig
+  FROM sh
+), bands AS (
+  SELECT doc_id, b, CAST(sig[b+1] AS VARCHAR) AS bkey
+  FROM sig, (SELECT unnest(generate_series(0, 11)) AS b)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+"""
+
+
+@demo("dd2_minhash_lsh", _MINHASH_SQL)
+def dd2_minhash_lsh(spark, sf_dir):
+    from tartare_spark.operators.dedup_docs import lsh_candidates
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return lsh_candidates(docs, k=12, bands=12, shingle_n=3)
+
+
+_SIMHASH_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+  FROM documents WHERE doc_id < 200
+), h AS (
+  SELECT doc_id,
+         list_transform(t, x ->
+           CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
+  FROM toks
+)
+SELECT doc_id,
+       list_aggregate(
+         [CASE WHEN 2 * len(list_filter(hs, v -> (v >> b) & 1 = 1)) > len(hs)
+               THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END
+          for b in range(0, 32)], 'sum') AS simhash
+FROM h
+"""
+
+
+@demo("dd3_simhash", _SIMHASH_SQL)
+def dd3_simhash(spark, sf_dir):
+    from tartare_spark.operators.dedup_docs import simhash
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash(docs, bits=32)
+
+
+_JACCARD_SQL = """
+WITH docs AS (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+  FROM documents WHERE doc_id % 5 = 0
+), toks AS (
+  SELECT doc_id, norm, regexp_split_to_array(norm, ' ') AS t FROM docs
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in range(1, len(t) - 1)])
+              ELSE [norm] END AS shingles
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.02
+"""
+
+
+@demo("dd4_ngram_jaccard", _JACCARD_SQL)
+def dd4_ngram_jaccard(spark, sf_dir):
+    from tartare_spark.operators.dedup_docs import jaccard_pairs
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return jaccard_pairs(docs, shingle_n=3, threshold=0.02)
+
+
+@demo(
+    "dd5_embedding_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(
+             list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id < 300 AND b.vec_id < 300
+      AND round(list_cosine_similarity(
+            list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+            list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.25
+    """,
+)
+def dd5_embedding_near_dup(spark, sf_dir):
+    from tartare_spark.operators.similarity import cosine
+
+    emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos")
+    )
+    return scored.filter(F.col("cos") >= 0.25)
+
+
+@demo(
+    "sim1_ann_bruteforce",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, v.vec_id,
+             round(list_cosine_similarity(
+               list_transform(v.embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(q.q_vec, x -> CAST(x AS DOUBLE))), 6) AS cos
+      FROM embeddings v, q WHERE v.vec_id >= 5)
+    SELECT q_id, vec_id, cos, CAST(rk AS INT) AS rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+      FROM scored) WHERE rk <= 5
+    """,
+)
+def sim1_ann_bruteforce(spark, sf_dir):
+    from tartare_spark.operators.similarity import brute_force_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    vectors = emb.filter(F.col("vec_id") >= 5)
+    return brute_force_topk(vectors, queries, k=5)
+
+
+@demo("sim2_ann_lsh_bucketed")  # rows-only: hyperplane LSH not SQL-expressible tersely
+def sim2_ann_lsh_bucketed(spark, sf_dir):
+    from tartare_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    vectors = emb.filter(F.col("vec_id") >= 5)
+    return lsh_bucketed_topk(vectors, queries, k=5, n_planes=4)
+
+
+@demo(
+    "mm1_blob_metadata",
+    "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+    "lower(hex(encode(substr(text, 1, 4)))) AS magic, 'text/plain' AS kind "
+    "FROM documents",
+)
+def mm1_blob_metadata(spark, sf_dir):
+    """Multimodal plumbing: binary column + mapInPandas metadata kernel
+    (decode kernels stubbed — operators/multimodal.py)."""
+    from tartare_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_blob_metadata,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    return extract_blob_metadata(attach_binary_payload(docs)).select(
+        "doc_id", "n_bytes", "magic", "kind"
+    )
+
+
+_STOP_IN = "('the','a','and','of','to','in','is','it','for','on')"
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+_LTOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+
+
+@demo(
+    "tx1_document_stats",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             len({_TOKS}) AS n_tokens,
+             len(list_filter({_LTOKS}, x -> x IN {_STOP_IN})) AS n_stop,
+             greatest(len({_TOKS}), 1) AS n_tok_g,
+             (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) AS n_punct,
+             greatest(length(text), 1) AS len_g,
+             list_aggregate(list_transform(
+               regexp_split_to_array(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+               x -> length(x)), 'sum') AS alnum_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round((alnum_chars + 3) / 4, 2) AS n_bpe_tokens,
+           round(n_stop / n_tok_g, 6) AS stop_ratio,
+           round(least(n_tokens / 50.0, 1.0)
+                 * (1.0 - least(n_punct / len_g * 5, 1.0))
+                 * (CASE WHEN n_stop / n_tok_g > 0.02 THEN 1.0 ELSE 0.5 END), 6) AS quality,
+           CASE WHEN n_stop / n_tok_g > 0.02 THEN 'en' ELSE 'other' END AS lang_pred,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM base
+    """,
+)
+def tx1_document_stats(spark, sf_dir):
+    from tartare_spark.operators.text import document_stats
+
+    return document_stats(T(spark, sf_dir, "documents"))

@@ -146,25 +146,31 @@ def generate_change_events(spec: FixtureSpec = UNIT) -> dict[str, list]:
         ts = TS_BASE + timedelta(seconds=lsn)
         rows.append((lsn, op, repo, path, commit_for(repo, path, lsn), lang, content, ts))
 
-    # ~5% out-of-order within a 1000-lsn horizon (also lag their ts)
+    # Arrival order = lsn order perturbed by (a) ~5% out-of-order events
+    # moved back within a 1000-lsn horizon (with lagged ts — late data),
+    # (b) ~1% verbatim duplicates re-delivered shortly after the
+    # original. Implemented as sort keys (O(n log n) — bench fixtures
+    # reach 10^7 events, so no list.insert).
     n = len(rows)
+    keys = [float(i) for i in range(n)]
     for idx in rng.sample(range(n), k=max(1, n // 20)):
         back = rng.randint(1, min(1000, idx)) if idx > 0 else 0
         if back:
             r = list(rows[idx])
             r[7] = r[7] - timedelta(seconds=back // 2)  # lagged ts (late data)
-            rows.insert(idx - back, tuple(r))
-            del rows[idx + 1]
-
-    # ~1% verbatim duplicates (redelivery), injected after the original
-    dup_idx = rng.sample(range(len(rows)), k=max(1, len(rows) // 100))
-    for idx in sorted(dup_idx, reverse=True):
-        insert_at = min(len(rows), idx + rng.randint(1, 200))
-        rows.insert(insert_at, rows[idx])
+            rows[idx] = tuple(r)
+            keys[idx] = idx - back - 0.5
+    dup_rows, dup_keys = [], []
+    for idx in rng.sample(range(n), k=max(1, n // 100)):
+        dup_rows.append(rows[idx])
+        dup_keys.append(keys[idx] + rng.randint(1, 200) + 0.25)
+    all_keys = keys + dup_keys
+    order = sorted(range(n + len(dup_rows)), key=all_keys.__getitem__)
+    all_rows = rows + dup_rows
 
     cols: dict[str, list] = {c: [] for c in CHANGE_EVENT_COLUMNS}
-    for r in rows:
-        for c, v in zip(CHANGE_EVENT_COLUMNS, r):
+    for i in order:
+        for c, v in zip(CHANGE_EVENT_COLUMNS, all_rows[i]):
             cols[c].append(v)
     return cols
 

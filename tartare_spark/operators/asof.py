@@ -1,0 +1,84 @@
+"""J5 ``asof_schema_version`` — as-of join (no native as-of in Spark SQL).
+
+Reference analog: the preprocess sequence applicable at export time
+[PK: tartare/core/models.py PreProcess.sequence]; in this engine, the
+schema-registry version effective at each event's LSN.
+
+Two implementations chosen by the size of the version table:
+
+- **broadcast theta-join + max** (default): correct at any event scale
+  when the version side is small (registries are). The event side is
+  never shuffled by the join itself (broadcast nested-loop), and the
+  follow-up groupBy collapses the ≤|versions| fanout. For a 3-row
+  registry over 10^10 events the fanout is bounded and map-side combined.
+- **union + window** (``asof_join_window``): for LARGE right sides —
+  union both inputs with a tag, single window pass partitioned by key
+  ordered by the as-of column, ``last(value, ignorenulls)`` carries the
+  most recent right-side value forward. One shuffle, no fanout; this is
+  the 100 TB-safe shape when both sides are big.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    payload: list[str],
+) -> DataFrame:
+    """Attach, for each left row, the right row with the greatest
+    ``right_on`` ≤ ``left_on``. Right side must be broadcast-small."""
+    keys = left.columns
+    j = left.join(F.broadcast(right), F.col(right_on) <= F.col(left_on), "left")
+    best = F.max_by(F.struct(*payload), F.col(right_on)).alias("_best")
+    out = j.groupBy(*keys).agg(best)
+    return out.select(*keys, *[F.col(f"_best.{c}").alias(c) for c in payload])
+
+
+def asof_join_window(
+    left: DataFrame,
+    right: DataFrame,
+    key: list[str],
+    left_on: str,
+    right_on: str,
+    payload: list[str],
+) -> DataFrame:
+    """Big-big as-of join: tagged union + one window pass. Keyed — each
+    left row gets the latest right row of the SAME key with
+    right_on ≤ left_on."""
+    key = list(key)
+    l_cols = [c for c in left.columns if c not in key]
+    lt = left.select(
+        *key,
+        F.col(left_on).alias("_asof"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in l_cols if c != left_on],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+    )
+    rt = right.select(
+        *key,
+        F.col(right_on).alias("_asof"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_cols if c != left_on],
+        *[F.col(c) for c in payload],
+    )
+    u = lt.unionByName(rt)
+    # right rows sort before left rows at equal _asof (as-of is inclusive)
+    w = (
+        Window.partitionBy(*key)
+        .orderBy(F.col("_asof").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in payload:
+        u = u.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return (
+        u.filter(F.col("_side") == 1)
+        .drop("_side")
+        .withColumnRenamed("_asof", left_on)
+    )

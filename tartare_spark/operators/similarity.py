@@ -1,0 +1,109 @@
+"""Similarity search over embedding columns (task brief):
+brute-force cosine top-k baseline + an LSH-bucketed scale path.
+
+Scale design: brute-force is the correctness baseline (broadcast the
+query set — top-k over N×Q pairs with only Q rows broadcast and a
+TakeOrdered per query). The scale path buckets vectors by random
+hyperplane signs (sign-LSH): at 100 TB the index side is written
+bucketed so a query touches ~1/2^H of the data. Dot products run
+JVM-side via zip_with/aggregate; doubles accumulated in index order so
+the DuckDB oracle (list_dot_product) agrees bit-for-bit after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def cosine(a, b):
+    """Cosine similarity of two array<float/double> columns, computed in
+    double precision, left-to-right accumulation."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Exact top-k neighbours per query. ``queries`` must be broadcast-
+    small (the typical online-search shape); the big side streams."""
+    j = vectors.crossJoin(F.broadcast(queries))
+    scored = j.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("cos"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(q_id_col, id_col, "cos", "rk")
+    )
+
+
+def hyperplane_bucket(vec_col, n_planes: int = 8, dim: int | None = None, seed: int = 42):
+    """Sign-LSH bucket id: sign pattern of dot products against
+    ``n_planes`` deterministic pseudo-random hyperplanes. Hyperplane
+    component h[p][i] = (md5-derived int of (seed,p,i) scaled to
+    [-1,1]) — fully deterministic, no fitted model."""
+    def comp(p, i):
+        # i may be a Column (element index); p/seed are literals
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(seed), F.lit(p), i)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        return (h % 2001 - 1000).cast("double") / 1000.0
+
+    def plane_dot(p, v):
+        idx = F.sequence(F.lit(1), F.size(v))
+        prods = F.zip_with(v, idx, lambda x, i: x.cast("double") * comp(p, i))
+        return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        sig = sig + F.when(plane_dot(p, vec_col) >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
+    return sig
+
+
+def lsh_bucketed_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """ANN: candidates restricted to the query's hyperplane bucket, then
+    exact cosine top-k within it. Recall is tunable by n_planes /
+    multi-probe; this is the partition-pruned scale path."""
+    v = vectors.withColumn("_b", hyperplane_bucket(F.col(vec_col), n_planes))
+    q = queries.withColumn("_b", hyperplane_bucket(F.col(q_vec_col), n_planes))
+    j = v.join(F.broadcast(q), "_b")
+    scored = j.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("cos"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(q_id_col, id_col, "cos", "rk")
+    )

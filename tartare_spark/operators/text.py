@@ -1,0 +1,118 @@
+"""Text-analysis operators for the training-data pipeline (task brief):
+language ID, quality scoring, token counting, document fingerprinting.
+
+All hot-path math is JVM-side (split/filter/aggregate higher-order
+functions, codegen'd); the only pandas UDF here is the demonstrative
+vectorized normalizer (D1). Every operator is a pure function of the
+row, so it scales embarrassingly: no shuffle at all until a later agg.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"]
+
+_TOKEN_SPLIT = r"\s+"
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), _TOKEN_SPLIT)
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish sub-word proxy: count word pieces after splitting on
+    non-alphanumerics AND on letter-digit boundaries, ~4 chars/piece.
+    Deterministic and cheap — a capacity-planning estimator, not a real
+    tokenizer."""
+    pieces = F.split(F.regexp_replace(F.lower(col), r"[^a-z0-9]+", " "), " ")
+    chars = F.aggregate(
+        pieces, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    return (chars + F.lit(3)) / F.lit(4)
+
+
+def stopword_ratio(col: Column) -> Column:
+    toks = tokens(F.lower(col))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stops = F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+    return F.size(stops) / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(col: Column) -> Column:
+    no_punct = F.regexp_replace(col, r"[^\w\s]", "")
+    return (F.length(col) - F.length(no_punct)) / F.greatest(F.length(col), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length score × (1 - punct
+    overload) × stopword plausibility. Mirrors the C4/Gopher-style rule
+    family (length/punct/stopword ratios) in a deterministic form."""
+    n_tok = token_count(col)
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_penalty = F.lit(1.0) - F.least(punct_ratio(col) * 5, F.lit(1.0))
+    stop = stopword_ratio(col)
+    stop_score = F.when(stop > 0.02, F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round(len_score * punct_penalty * stop_score, 6)
+
+
+def lang_id(col: Column) -> Column:
+    """Character-class n-gram heuristic: script detection first (CJK,
+    Cyrillic, Arabic), then an English-stopword ratio gate. Returns an
+    ISO-ish tag. Deterministic, JVM-regex only."""
+    has_cjk = F.length(F.regexp_replace(col, r"[^一-鿿]", "")) > 0
+    has_cyr = F.length(F.regexp_replace(col, r"[^Ѐ-ӿ]", "")) > 0
+    has_ar = F.length(F.regexp_replace(col, r"[^؀-ۿ]", "")) > 0
+    en_ish = stopword_ratio(col) > 0.02
+    return (
+        F.when(has_cjk, F.lit("zh"))
+        .when(has_cyr, F.lit("ru"))
+        .when(has_ar, F.lit("ar"))
+        .when(en_ish, F.lit("en"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized lowercase
+    text — the exact-dedup key. (A rolling/poly hash variant lives in
+    dedup_docs.minhash_terms for near-dup work.)"""
+    norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.md5(norm)
+
+
+@pandas_udf("string")
+def normalize_content(s: pd.Series) -> pd.Series:
+    """D1 vectorized content normalizer (Arrow batches): line endings,
+    tabs, trailing whitespace. Reference analog: Ruspell content
+    rewriting [PK: tartare/processes/contributor/ruspell.py] — heavy
+    string surgery belongs in pandas, one batch at a time, never per-row
+    Python."""
+    return (
+        s.fillna("")
+        .str.replace("\r\n", "\n", regex=False)
+        .str.replace("\t", "    ", regex=False)
+        .str.replace(r"[ ]+\n", "\n", regex=True)
+        .str.strip()
+    )
+
+
+def document_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        token_count(c).alias("n_tokens"),
+        F.round(bpe_ish_token_count(c), 2).alias("n_bpe_tokens"),
+        F.round(stopword_ratio(c), 6).alias("stop_ratio"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fp"),
+    )

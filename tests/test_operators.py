@@ -1,0 +1,161 @@
+"""Unit tests for standalone operators (SURVEY.md §2 breadth).
+Cross-engine value parity is covered by scripts/check_correctness.py
+(the driver's DuckDB gate); these tests pin engine-internal invariants.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def test_salted_count_equals_plain(spark):
+    from tartare_spark.operators.salt import salted_count
+
+    ev = _events(spark)
+    salted = salted_count(ev, "user_id", ["event_id"], n_salts=8)
+    plain = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_asof_window_equals_broadcast(spark):
+    """J5: the big-big window implementation must agree with the
+    broadcast theta-join implementation."""
+    from tartare_spark.operators.asof import asof_join_broadcast, asof_join_window
+
+    ev = _events(spark).select("event_id").withColumn("k", F.lit(1))
+    versions = spark.createDataFrame(
+        [(1, 1, 0), (1, 2, 300), (1, 3, 700)], "k INT, version INT, eff BIGINT"
+    )
+    via_bc = asof_join_broadcast(
+        ev.drop("k"), versions.drop("k"), "event_id", "eff", ["version"]
+    )
+    via_w = asof_join_window(
+        ev, versions, key=["k"], left_on="event_id", right_on="eff", payload=["version"]
+    ).select("event_id", "version")
+    assert via_bc.exceptAll(via_w).count() == 0
+    assert via_w.exceptAll(via_bc).count() == 0
+
+
+def test_minhash_deterministic(spark):
+    from tartare_spark.operators.dedup_docs import minhash_signature
+
+    docs = _docs(spark).limit(50)
+    a = {r["doc_id"]: r["sig"] for r in minhash_signature(docs, "doc_id", "text").collect()}
+    b = {r["doc_id"]: r["sig"] for r in minhash_signature(docs, "doc_id", "text").collect()}
+    assert a == b
+
+
+def test_lsh_candidates_superset_of_high_jaccard(spark):
+    """Banded LSH with r=1 must surface every pair sharing ANY minhash;
+    all true near-dups above the band's design threshold are candidates."""
+    from tartare_spark.operators.dedup_docs import jaccard_pairs, lsh_candidates
+
+    docs = _docs(spark)
+    cands = {
+        (r["id_a"], r["id_b"]) for r in lsh_candidates(docs, k=12, bands=12).collect()
+    }
+    # inject an exact duplicate pair: doc 0 text copied onto a fake id
+    dup = docs.limit(1).select(F.lit(99999).alias("doc_id"), "text", "lang", "source", "n_chars")
+    with_dup = docs.unionByName(dup)
+    cands2 = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidates(with_dup, k=12, bands=12).collect()
+    }
+    first_id = docs.select(F.min("doc_id")).collect()[0][0]
+    assert (first_id, 99999) in cands2
+    assert cands2 >= cands
+
+
+def test_simhash_identical_for_identical_text(spark):
+    from tartare_spark.operators.dedup_docs import simhash
+
+    docs = _docs(spark).limit(5)
+    dup = docs.limit(1).select(F.lit(99999).alias("doc_id"), "text", "lang", "source", "n_chars")
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs.unionByName(dup)).collect()}
+    first_id = min(k for k in sigs if k != 99999)
+    assert sigs[99999] == sigs[first_id]
+
+
+def test_brute_force_topk_self_similarity(spark):
+    """A vector's nearest neighbour among a set containing itself is
+    itself with cosine 1."""
+    from tartare_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    top = brute_force_topk(emb, queries, k=1)
+    rows = top.collect()
+    assert all(r["vec_id"] == r["q_id"] and abs(r["cos"] - 1.0) < 1e-5 for r in rows)
+
+
+def test_lsh_bucketed_recall_at_least_self(spark):
+    from tartare_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    top = lsh_bucketed_topk(emb, queries, k=1, n_planes=4)
+    rows = top.collect()
+    # the query vector lands in its own bucket → rank-1 is itself
+    assert all(r["vec_id"] == r["q_id"] for r in rows)
+
+
+def test_blob_metadata_plumbing(spark):
+    from tartare_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_blob_metadata,
+    )
+
+    docs = _docs(spark).limit(20)
+    meta = extract_blob_metadata(attach_binary_payload(docs))
+    rows = meta.collect()
+    assert len(rows) == 20
+    src = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    for r in rows:
+        assert r["n_bytes"] == len(src[r["doc_id"]].encode("utf-8"))
+        assert r["magic"] == src[r["doc_id"]].encode("utf-8")[:4].hex()
+
+
+def test_multimodal_stubs_raise(spark):
+    from tartare_spark.operators.multimodal import attach_binary_payload, decode_image
+
+    docs = attach_binary_payload(_docs(spark).limit(2))
+    with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        decode_image(docs).collect()
+
+
+def test_conditional_ingest_filters_unchanged(spark):
+    from tartare_spark.operators.merge import conditional_filter
+
+    staged = spark.createDataFrame(
+        [(1, "u", "r", "p1", "c", None, "same"), (2, "u", "r", "p2", "c", None, "new")],
+        "lsn LONG, op STRING, repo STRING, path STRING, commit STRING, lang STRING, content STRING",
+    )
+    target = spark.createDataFrame(
+        [("r", "p1", "c", None, "same", 0, False, None)],
+        "repo STRING, path STRING, commit STRING, lang STRING, content STRING, _lsn LONG, _deleted BOOLEAN, _content_sha STRING",
+    ).withColumn("_content_sha", F.sha2(F.col("content"), 256))
+    out = conditional_filter(staged, target).collect()
+    assert [r["path"] for r in out] == ["p2"]
+
+
+def test_dedup_window_equals_maxby(spark):
+    from tartare_spark.operators.dedup import dedup_latest_lsn, dedup_latest_window
+
+    ev = _events(spark).select("user_id", "event_id", "event_type")
+    a = dedup_latest_lsn(ev, keys=["user_id"], order_col="event_id")
+    b = dedup_latest_window(ev, keys=["user_id"], order_col="event_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

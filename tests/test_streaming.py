@@ -1,0 +1,85 @@
+"""M3: streaming replay, checkpoint resume, exactly-once (SURVEY.md §5.2)."""
+
+import time
+
+import pandas as pd
+import pytest
+
+from tartare_spark.fixtures import UNIT, generate_change_events, registry_rows
+from tartare_spark.lake.table import LakeTable
+from tartare_spark.oracle import replay_referee
+from tartare_spark.registry import SchemaRegistry
+from tartare_spark.streaming.runner import run_stream
+
+
+@pytest.fixture(scope="module")
+def expected():
+    return replay_referee(
+        pd.DataFrame(generate_change_events(UNIT)), registry_rows(UNIT)
+    )
+
+
+def _assert_matches(spark, lake, reg, expected):
+    exp = spark.createDataFrame(expected)
+    eng = lake.snapshot(spark, registry=reg).select(*expected.columns.tolist())
+    assert eng.exceptAll(exp).count() == 0
+    assert exp.exceptAll(eng).count() == 0
+
+
+def test_streaming_replay_matches_referee(spark, unit_events_dir, tmp_path, expected):
+    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=16)
+    reg = SchemaRegistry(registry_rows(UNIT))
+    run_stream(
+        spark, unit_events_dir, lake, str(tmp_path / "ckpt"),
+        registry=reg, max_files_per_trigger=7,
+    )
+    assert lake.current_version() >= 2  # multiple micro-batches happened
+    _assert_matches(spark, lake, reg, expected)
+    # T7: every committed batch has a metrics record with throughput
+    recs = [m for m in lake.metrics() if not m.get("skipped")]
+    assert recs and all("keys_per_sec" in m for m in recs if m["rows"])
+
+
+def test_streaming_resume_after_kill(spark, unit_events_dir, tmp_path, expected):
+    """T6: kill mid-replay, resume from the same checkpoint → exact state,
+    no loss, no duplication."""
+    lake = LakeTable.create(str(tmp_path / "lake2"), num_buckets=16)
+    reg = SchemaRegistry(registry_rows(UNIT))
+    ckpt = str(tmp_path / "ckpt2")
+    q = run_stream(
+        spark, unit_events_dir, lake, ckpt, registry=reg,
+        max_files_per_trigger=3, available_now=False, await_termination=False,
+    )
+    deadline = time.time() + 120
+    while lake.current_version() < 2 and time.time() < deadline:
+        time.sleep(0.3)
+    q.stop()
+    assert lake.current_version() >= 2
+    run_stream(spark, unit_events_dir, lake, ckpt, registry=reg, max_files_per_trigger=3)
+    _assert_matches(spark, lake, reg, expected)
+    lake.vacuum()  # reclaim any files orphaned by the kill
+    _assert_matches(spark, lake, reg, expected)
+
+
+def test_streaming_rerun_same_checkpoint_noop(spark, unit_events_dir, tmp_path, expected):
+    lake = LakeTable.create(str(tmp_path / "lake3"), num_buckets=8)
+    reg = SchemaRegistry(registry_rows(UNIT))
+    ckpt = str(tmp_path / "ckpt3")
+    run_stream(spark, unit_events_dir, lake, ckpt, registry=reg, max_files_per_trigger=10)
+    v = lake.current_version()
+    run_stream(spark, unit_events_dir, lake, ckpt, registry=reg, max_files_per_trigger=10)
+    assert lake.current_version() == v
+    _assert_matches(spark, lake, reg, expected)
+
+
+def test_streaming_watermark_dedup_path(spark, unit_events_dir, tmp_path, expected):
+    """T2: the withWatermark + dropDuplicatesWithinWatermark path yields
+    the same final state (dedup is belt-and-braces over the LWW merge)."""
+    lake = LakeTable.create(str(tmp_path / "lake4"), num_buckets=8)
+    reg = SchemaRegistry(registry_rows(UNIT))
+    run_stream(
+        spark, unit_events_dir, lake, str(tmp_path / "ckpt4"),
+        registry=reg, max_files_per_trigger=None,  # one big batch
+        drop_dup_within_watermark=True,
+    )
+    _assert_matches(spark, lake, reg, expected)
