@@ -47,7 +47,7 @@ HEADLINE_QUERIES = [
 
 def main() -> None:
     from tartare_spark.demos import SPARK
-    from tartare_spark.fixtures import FixtureSpec, write_events_parquet
+    from tartare_spark.fixtures import FixtureSpec, write_events_parquet_fast
     from tartare_spark.lake.table import LakeTable
     from tartare_spark.session import get_spark
     from tartare_spark.streaming.runner import run_stream
@@ -69,7 +69,9 @@ def main() -> None:
             n_repos=2000, paths_per_repo=500, n_events=N_EVENTS
         )
         events_dir = os.path.join(work, "events")
-        n_written = write_events_parquet(events_dir, spec, events_per_file=N_EVENTS // 16)
+        n_written = write_events_parquet_fast(
+            events_dir, spec, events_per_file=N_EVENTS // 16
+        )
         lake = LakeTable.create(os.path.join(work, "lake"), num_buckets=64)
         t0 = time.time()
         run_stream(

@@ -207,6 +207,99 @@ def write_events_parquet(
     return n
 
 
+def generate_change_events_fast(spec: FixtureSpec) -> pa.Table:
+    """Vectorized (numpy) fixture generator for BENCH-scale streams.
+
+    Same schema and the same zipf-ish repo skew as
+    ``generate_change_events`` but ~100x faster; used only for
+    throughput benchmarks (the pure-Python generator stays the
+    correctness ground truth — its per-key op state machine is what the
+    pandas referee replays). Content here is deterministic but cheap:
+    the engine computes ``sha2(content, 256)`` itself, so the invariant
+    is still exercised end to end.
+    """
+    import numpy as np
+
+    n = spec.n_events
+    rng = np.random.default_rng(spec.seed)
+
+    weights = np.asarray(_repo_weights(spec.n_repos))
+    repo_idx = rng.choice(spec.n_repos, size=n, p=weights)
+    path_idx = rng.integers(0, spec.paths_per_repo, size=n)
+    lsn = np.arange(1, n + 1, dtype=np.int64)
+
+    # op mix ≈ the stateful generator's steady state; exact ratios are
+    # irrelevant to the engine (insert/update are both upserts, delete
+    # is a tombstone) — only the shuffle/merge volume matters.
+    u = rng.random(n)
+    is_del = u < 0.08
+    is_ins = u > 0.70
+
+    # ~5% out-of-order arrivals within a 1000-lsn horizon, ~1% dups.
+    arrival = lsn.astype(np.float64)
+    late = rng.choice(n, size=max(1, n // 20), replace=False)
+    arrival[late] -= rng.integers(1, 1000, size=late.size) + 0.5
+    dup = rng.choice(n, size=max(1, n // 100), replace=False)
+
+    repos = np.array([f"repo_{i:04d}" for i in range(spec.n_repos)])
+    exts = np.array(EXTS)
+    paths = np.array(
+        [f"src/{j // 10}/f{j:05d}.{e}" for j, e in
+         zip(range(spec.paths_per_repo), np.tile(exts, spec.paths_per_repo // len(EXTS) + 1))]
+    )
+    langs = np.array([EXT_LANG[p.rsplit(".", 1)[-1]] for p in paths])
+
+    repo_s = repos[repo_idx]
+    path_s = paths[path_idx]
+    # cheap deterministic strings (vectorized via pandas str ops)
+    import pandas as pd
+
+    lsn_s = pd.Series(lsn).astype(str)
+    mix = (lsn * np.int64(2654435761)) & np.int64(0x7FFFFFFFFFFFFFFF)
+    content = ("// " + pd.Series(repo_s) + ":" + pd.Series(path_s) + " v"
+               + lsn_s + "\n" + pd.Series(mix).apply(lambda v: f"{v:015x}") * 4)
+    content = content.where(~pd.Series(is_del), "")
+    commit = pd.Series(((lsn * 1099511628211) & 0xFFFFFFFFFFFF)).apply(
+        lambda v: f"{v:012x}"
+    )
+    lang = pd.Series(langs[path_idx]).where(lsn >= spec.v2_lsn, None)
+    op = np.where(is_del, "delete", np.where(is_ins, "insert", "update"))
+    ts = pd.Timestamp(TS_BASE) + pd.to_timedelta(lsn, unit="s")
+
+    order = np.argsort(
+        np.concatenate([arrival, arrival[dup] + rng.integers(1, 200, size=dup.size) + 0.25])
+    )
+    idx = np.concatenate([np.arange(n), dup])[order]
+
+    return pa.table(
+        {
+            "lsn": pa.array(lsn[idx], pa.int64()),
+            "op": pa.array(op[idx], pa.string()),
+            "repo": pa.array(repo_s[idx], pa.string()),
+            "path": pa.array(path_s[idx], pa.string()),
+            "commit": pa.array(commit.to_numpy()[idx], pa.string()),
+            "lang": pa.array(lang.to_numpy()[idx], pa.string()),
+            "content": pa.array(content.to_numpy()[idx], pa.string()),
+            "ts": pa.array(pd.Series(ts).to_numpy()[idx], pa.timestamp("us")),
+        }
+    )
+
+
+def write_events_parquet_fast(
+    out_dir: str, spec: FixtureSpec, events_per_file: int = 100_000
+) -> int:
+    """Fast path of ``write_events_parquet`` for bench fixtures."""
+    os.makedirs(out_dir, exist_ok=True)
+    table = generate_change_events_fast(spec)
+    n = table.num_rows
+    for fi, start in enumerate(range(0, n, events_per_file)):
+        pq.write_table(
+            table.slice(start, events_per_file),
+            os.path.join(out_dir, f"events-{fi:06d}.parquet"),
+        )
+    return n
+
+
 def registry_rows(spec: FixtureSpec = UNIT) -> list[dict]:
     """Schema-registry fixture (FIXTURES.md §3): v1 base, v2 add `lang`
     with a path-extension default, v3 rename `lang` -> `language`."""

@@ -89,17 +89,40 @@ class LakeTable:
         with open(os.path.join(root, "_table.json")) as f:
             meta = json.load(f)
         self.num_buckets: int = meta["num_buckets"]
+        self.mode: str = meta.get("mode", "cow")
+        self.compact_every: int = meta.get("compact_every", 8)
 
     # ------------------------------------------------------------------
     # creation / manifest plumbing
     # ------------------------------------------------------------------
     @staticmethod
-    def create(root: str, num_buckets: int = 32) -> "LakeTable":
+    def create(
+        root: str,
+        num_buckets: int = 32,
+        mode: str = "mor",
+        compact_every: int = 8,
+    ) -> "LakeTable":
+        """``mode``:
+
+        - ``"mor"`` (merge-on-read, default) — each micro-batch APPENDS
+          its deduped upserts/tombstones as per-bucket delta files;
+          last-writer-wins is resolved at read; buckets are compacted
+          back into the base when a bucket accumulates
+          ``compact_every`` delta files. This is the 10^10-event design:
+          write amplification per batch is O(batch), not O(table)
+          (Hudi-MOR / Iceberg-equality-delete shape).
+        - ``"cow"`` (copy-on-write) — each batch full-outer-MERGEs into
+          the touched buckets and rewrites them. O(table) writes per
+          batch, but zero read-time resolution — right for read-heavy,
+          low-churn tables.
+        """
+        assert mode in ("mor", "cow")
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "_metrics"), exist_ok=True)
         _atomic_write_json(
-            os.path.join(root, "_table.json"), {"num_buckets": num_buckets}
+            os.path.join(root, "_table.json"),
+            {"num_buckets": num_buckets, "mode": mode, "compact_every": compact_every},
         )
         manifest = {
             "version": 0,
@@ -107,6 +130,7 @@ class LakeTable:
             "parent": None,
             "schema_version": 1,
             "files": {},
+            "deltas": {},
             "bucket_lsn": {},
             "stats": {"rows_written": 0},
         }
@@ -134,12 +158,15 @@ class LakeTable:
     # reads
     # ------------------------------------------------------------------
     def _files(
-        self, buckets: list[int] | None = None, version: int | None = None
+        self,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        kind: str = "files",
     ) -> list[str]:
         m = self.manifest(version)
         files: list[str] = []
         want = None if buckets is None else {str(b) for b in buckets}
-        for b, fl in m["files"].items():
+        for b, fl in m.get(kind, {}).items():
             if want is None or b in want:
                 files.extend(fl)
         return files
@@ -151,17 +178,28 @@ class LakeTable:
         version: int | None = None,
     ) -> DataFrame:
         """Raw snapshot incl. tombstones & system columns, optionally
-        pruned to a bucket subset (the MERGE fast path)."""
-        files = self._files(buckets, version)
-        if not files:
+        pruned to a bucket subset. In MOR mode this resolves base ∪
+        deltas to one row per key (last-writer-wins by ``_lsn``) — the
+        read-time half of merge-on-read."""
+        base = self._files(buckets, version)
+        deltas = self._files(buckets, version, kind="deltas")
+        if not base and not deltas:
             from tartare_spark.lake.schema import RAW_LAKE_SCHEMA
 
             return spark.createDataFrame([], RAW_LAKE_SCHEMA)
         # ``_bucket`` is a write-side directory partition (dropped from the
         # data files); recompute it — it is a pure codegen'd hash of the key.
-        return spark.read.parquet(*files).withColumn(
+        df = spark.read.parquet(*(base + deltas)).withColumn(
             "_bucket", bucket_expr(self.num_buckets)
         )
+        if deltas:
+            from tartare_spark.operators.dedup import dedup_latest_lsn
+
+            # base and delta rows share the physical schema; duplicate
+            # (key, _lsn) rows across segments are verbatim copies, so
+            # max_by is exact. Partial agg combines map-side → one shuffle.
+            df = dedup_latest_lsn(df, keys=["repo", "path"], order_col="_lsn")
+        return df
 
     def snapshot(
         self,
@@ -205,38 +243,151 @@ class LakeTable:
         if batch_id <= self.last_batch_id():
             return False
 
-        batch_dir = os.path.join(self.root, "data", f"batch-{batch_id}-{uuid.uuid4().hex[:8]}")
-        # one shuffle: co-locate each bucket into one task → one file per
-        # bucket (plus maxRecordsPerFile splitting for huge buckets)
-        (
-            merged.repartition(max(len(touched_buckets), 1), "_bucket")
-            .write.option("maxRecordsPerFile", 2_000_000)
-            .partitionBy("_bucket")
-            .parquet(batch_dir)
+        new_files = self._write_data_files(
+            merged, f"batch-{batch_id}-{uuid.uuid4().hex[:8]}", len(touched_buckets)
         )
 
-        new_files: dict[int, list[str]] = {b: [] for b in touched_buckets}
-        for entry in os.scandir(batch_dir):
+        prev = self.manifest()
+        files = dict(prev["files"])
+        deltas = dict(prev.get("deltas", {}))
+        for b in touched_buckets:
+            files[str(b)] = sorted(new_files.get(b, []))
+            # a base rewrite of a bucket supersedes its deltas (the CoW
+            # merge read them resolved via read_raw)
+            if str(b) in deltas:
+                deltas[str(b)] = []
+
+        self._publish(
+            prev,
+            batch_id=batch_id,
+            files=files,
+            deltas=deltas,
+            bucket_lsn_updates=bucket_lsn_updates,
+            schema_version=schema_version,
+            extra_stats=extra_stats,
+        )
+        return True
+
+    def commit_delta(
+        self,
+        staged_phys: DataFrame,
+        batch_id: int,
+        touched_buckets: list[int],
+        bucket_lsn_updates: dict[int, int],
+        schema_version: int | None = None,
+        extra_stats: dict | None = None,
+    ) -> bool:
+        """Merge-on-read commit: APPEND the batch's deduped physical rows
+        (one per key, tombstones included) as per-bucket delta files. No
+        existing file is read or rewritten — per-batch write cost is
+        O(batch), independent of table size. Idempotent by batch_id."""
+        if batch_id <= self.last_batch_id():
+            return False
+
+        new_files = self._write_data_files(
+            staged_phys, f"delta-{batch_id}-{uuid.uuid4().hex[:8]}", len(touched_buckets)
+        )
+
+        prev = self.manifest()
+        deltas = {k: list(v) for k, v in prev.get("deltas", {}).items()}
+        for b in touched_buckets:
+            deltas.setdefault(str(b), []).extend(sorted(new_files.get(b, [])))
+
+        self._publish(
+            prev,
+            batch_id=batch_id,
+            files=dict(prev["files"]),
+            deltas=deltas,
+            bucket_lsn_updates=bucket_lsn_updates,
+            schema_version=schema_version,
+            extra_stats=extra_stats,
+        )
+        return True
+
+    def max_delta_files(self) -> int:
+        m = self.manifest()
+        return max((len(v) for v in m.get("deltas", {}).values()), default=0)
+
+    def compact(self, spark: SparkSession, buckets: list[int] | None = None) -> int:
+        """Fold delta files back into the base (MOR maintenance): resolve
+        base ∪ deltas per bucket and rewrite those buckets. A maintenance
+        commit — keeps the previous batch_id, so batch idempotency and
+        checkpoint replay are unaffected. Crash-safe: data lands before
+        the manifest swap; a crash leaves only orphans for vacuum()."""
+        m = self.manifest()
+        delta_buckets = sorted(
+            int(b) for b, fl in m.get("deltas", {}).items() if fl
+        )
+        if buckets is not None:
+            keep = set(buckets)
+            delta_buckets = [b for b in delta_buckets if b in keep]
+        if not delta_buckets:
+            return 0
+
+        resolved = self.read_raw(spark, buckets=delta_buckets)
+        new_files = self._write_data_files(
+            resolved, f"compact-{m['version']}-{uuid.uuid4().hex[:8]}", len(delta_buckets)
+        )
+
+        prev = self.manifest()
+        files = dict(prev["files"])
+        deltas = {k: list(v) for k, v in prev.get("deltas", {}).items()}
+        for b in delta_buckets:
+            files[str(b)] = sorted(new_files.get(b, []))
+            deltas[str(b)] = []
+        self._publish(
+            prev,
+            batch_id=prev["batch_id"],
+            files=files,
+            deltas=deltas,
+            bucket_lsn_updates={},
+            schema_version=None,
+            extra_stats={"compaction": True, "buckets": len(delta_buckets)},
+        )
+        return len(delta_buckets)
+
+    # -- shared write/commit plumbing ----------------------------------
+    def _write_data_files(
+        self, df: DataFrame, dirname: str, n_partitions: int
+    ) -> dict[int, list[str]]:
+        """One shuffle: co-locate each bucket into one task → one file
+        per bucket (maxRecordsPerFile splits huge buckets)."""
+        out_dir = os.path.join(self.root, "data", dirname)
+        (
+            df.repartition(max(n_partitions, 1), "_bucket")
+            .write.option("maxRecordsPerFile", 2_000_000)
+            .partitionBy("_bucket")
+            .parquet(out_dir)
+        )
+        new_files: dict[int, list[str]] = {}
+        for entry in os.scandir(out_dir):
             if entry.name.startswith("_bucket="):
                 b = int(entry.name.split("=", 1)[1])
                 for f in os.scandir(entry.path):
                     if f.name.endswith(".parquet"):
                         new_files.setdefault(b, []).append(f.path)
+        return new_files
 
-        prev = self.manifest()
-        files = dict(prev["files"])
-        for b in touched_buckets:
-            files[str(b)] = sorted(new_files.get(b, []))
+    def _publish(
+        self,
+        prev: dict,
+        batch_id: int,
+        files: dict,
+        deltas: dict,
+        bucket_lsn_updates: dict[int, int],
+        schema_version: int | None,
+        extra_stats: dict | None,
+    ) -> None:
         bucket_lsn = dict(prev["bucket_lsn"])
         for b, lsn in bucket_lsn_updates.items():
             bucket_lsn[str(b)] = max(int(lsn), int(bucket_lsn.get(str(b), 0)))
-
         manifest = {
             "version": prev["version"] + 1,
             "batch_id": batch_id,
             "parent": prev["version"],
             "schema_version": schema_version or prev["schema_version"],
             "files": files,
+            "deltas": deltas,
             "bucket_lsn": bucket_lsn,
             "stats": {**(extra_stats or {})},
         }
@@ -244,7 +395,6 @@ class LakeTable:
         _atomic_write_text(
             os.path.join(self.root, "_current"), str(manifest["version"])
         )
-        return True
 
     # ------------------------------------------------------------------
     # lineage & metrics (SURVEY.md §2 W3/T7; BASELINE.json:6)
@@ -282,7 +432,7 @@ class LakeTable:
     def orphan_files(self) -> list[str]:
         """Data files on disk not referenced by the current manifest
         (left by crashes between data write and manifest publish)."""
-        referenced = set(self._files())
+        referenced = set(self._files()) | set(self._files(kind="deltas"))
         found = []
         data = os.path.join(self.root, "data")
         for dirpath, _, names in os.walk(data):
@@ -299,6 +449,8 @@ class LakeTable:
         for v in range(self.current_version() + 1):
             m = self.manifest(v)
             for fl in m["files"].values():
+                referenced.update(fl)
+            for fl in m.get("deltas", {}).values():
                 referenced.update(fl)
         removed = 0
         data = os.path.join(self.root, "data")

@@ -15,12 +15,16 @@ snapshot out:
 5. **lineage + T7 metrics** — per-bucket applied-LSN watermarks and a
    rows/sec JSONL record.
 
-Scale notes (the 100 TB story): per batch the engine shuffles (a) the
-batch once for dedup, (b) batch + touched-bucket rows once for the
-merge join, and writes touched buckets once. Nothing else moves. The
-driver never sees data rows — only the ≤num_buckets touched-bucket ids
-and scalar counters. Skew: bucketing hashes the FULL key (repo, path),
-so a hot repo spreads over all buckets (salted bucketing,
+Scale notes (the 100 TB story): in the default **merge-on-read** lake
+mode each batch shuffles (a) the batch once for dedup and (b) once more
+to co-locate buckets for the delta write — per-batch cost is O(batch),
+independent of table size; read-time LWW resolution is bounded by
+periodic compaction (every ``compact_every`` delta files per bucket).
+In **copy-on-write** mode step 3/4 full-outer-merge and rewrite the
+touched buckets instead (O(table) per batch, zero read-time work).
+The driver never sees data rows — only the ≤num_buckets touched-bucket
+ids and scalar counters. Skew: bucketing hashes the FULL key
+(repo, path), so a hot repo spreads over all buckets (salted bucketing,
 BASELINE.json:6); AQE skew-join splitting covers residual join skew.
 """
 
@@ -62,6 +66,9 @@ def apply_batch(
     ev = events.select(*EVENT_COLS)
     staged = dedup_latest_lsn(ev, keys=["repo", "path"], order_col="lsn")
     staged = staged.withColumn("_bucket", bucket_expr(lake.num_buckets))
+    # staged feeds two jobs (bucket-stats collect, then the MERGE write);
+    # persist so the source scan + dedup shuffle run once per batch.
+    staged = staged.persist()
 
     # touched buckets + per-bucket watermark + batch size in ONE small
     # aggregation (≤ num_buckets rows collected — scale-independent).
@@ -71,6 +78,7 @@ def apply_batch(
         .collect()
     )
     if not bstats:
+        staged.unpersist()
         rec = {"batch_id": batch_id, "skipped": False, "rows": 0, "empty": True,
                "seconds": time.time() - t0}
         lake.append_metrics(rec)
@@ -79,24 +87,54 @@ def apply_batch(
     bucket_lsn = {int(r["_bucket"]): int(r["max_lsn"]) for r in bstats}
     n_keys = sum(int(r["keys"]) for r in bstats)
 
-    target = lake.read_raw(spark, buckets=touched)
-    merged = merge_upserts(target, staged.drop("_bucket"), lake.num_buckets)
-
     schema_version = registry.current_version(max(bucket_lsn.values())) if registry else None
-    committed = lake.write_and_commit(
-        merged,
-        batch_id=batch_id,
-        touched_buckets=touched,
-        bucket_lsn_updates=bucket_lsn,
-        schema_version=schema_version,
-        extra_stats={"keys": n_keys},
-    )
+    compacted = 0
+    try:
+        if lake.mode == "mor":
+            # merge-on-read: append the deduped batch as delta files —
+            # O(batch) writes, no table read. LWW resolution happens at
+            # read (and is folded back in by periodic compaction below).
+            phys = staged.select(
+                "repo",
+                "path",
+                "commit",
+                "lang",
+                "content",
+                F.col("lsn").alias("_lsn"),
+                (F.col("op") == "delete").alias("_deleted"),
+                F.sha2(F.coalesce("content", F.lit("")), 256).alias("_content_sha"),
+                "_bucket",
+            )
+            committed = lake.commit_delta(
+                phys,
+                batch_id=batch_id,
+                touched_buckets=touched,
+                bucket_lsn_updates=bucket_lsn,
+                schema_version=schema_version,
+                extra_stats={"keys": n_keys},
+            )
+            if committed and lake.max_delta_files() >= lake.compact_every:
+                compacted = lake.compact(spark)
+        else:
+            target = lake.read_raw(spark, buckets=touched)
+            merged = merge_upserts(target, staged.drop("_bucket"), lake.num_buckets)
+            committed = lake.write_and_commit(
+                merged,
+                batch_id=batch_id,
+                touched_buckets=touched,
+                bucket_lsn_updates=bucket_lsn,
+                schema_version=schema_version,
+                extra_stats={"keys": n_keys},
+            )
+    finally:
+        staged.unpersist()
     dt = time.time() - t0
     rec = {
         "batch_id": batch_id,
         "skipped": not committed,
         "rows": n_keys,
         "touched_buckets": len(touched),
+        "compacted_buckets": compacted,
         "seconds": round(dt, 4),
         "keys_per_sec": round(n_keys / dt, 2) if dt > 0 else None,
     }

@@ -46,11 +46,28 @@ def assert_state_equals_referee(spark, lake, registry=None, reg_rows=None):
     assert bad.count() == 0
 
 
-def test_batch_replay_matches_referee(spark, unit_events, tmp_path):
-    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=16)
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_batch_replay_matches_referee(spark, unit_events, tmp_path, mode):
+    lake = LakeTable.create(str(tmp_path / f"lake_{mode}"), num_buckets=16, mode=mode)
     recs = replay_batches(spark, lake, unit_events, num_chunks=8)
     assert all(not r.get("skipped") for r in recs)
     assert_state_equals_referee(spark, lake)
+
+
+def test_mor_compaction_preserves_state(spark, unit_events, tmp_path):
+    """MOR maintenance: compaction folds deltas into the base without
+    changing the resolved state; compact_every=3 forces several
+    compactions mid-replay too."""
+    lake = LakeTable.create(
+        str(tmp_path / "lake_mor_c"), num_buckets=8, mode="mor", compact_every=3
+    )
+    replay_batches(spark, lake, unit_events, num_chunks=9)
+    assert any(m.get("compacted_buckets") for m in lake.metrics())
+    before = assert_state_equals_referee(spark, lake)
+    lake.compact(spark)  # final manual compaction: all deltas folded
+    assert lake.max_delta_files() == 0
+    assert_state_equals_referee(spark, lake)
+    _ = before
 
 
 def test_single_batch_replay_same_state(spark, unit_events, tmp_path):
