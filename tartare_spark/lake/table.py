@@ -304,6 +304,70 @@ class LakeTable:
         )
         return True
 
+    def append_delta(
+        self,
+        staged_phys: DataFrame,
+        batch_id: int,
+        schema_version_fn=None,
+        extra_stats: dict | None = None,
+    ) -> dict | None:
+        """Single-job MOR commit: write ``staged_phys`` (deduped physical
+        rows carrying ``_bucket``) as per-bucket delta files, then recover
+        the touched-bucket set + per-bucket applied-LSN watermarks from
+        the parquet FOOTERS of the files just written (driver-side, ≤
+        num_buckets files, ~ms) instead of running a second Spark job
+        over the batch. Publishes the manifest and returns
+        ``{keys, touched_buckets, max_lsn}``; ``None`` if the batch_id
+        was already applied (idempotent) or the batch was empty.
+
+        ``schema_version_fn(max_lsn)`` (optional) resolves the schema-
+        registry version effective at the batch watermark — a callback so
+        the lake stays decoupled from the registry.
+        """
+        if batch_id <= self.last_batch_id():
+            return None
+
+        import pyarrow.parquet as pq
+
+        new_files = self._write_data_files(
+            staged_phys,
+            f"delta-{batch_id}-{uuid.uuid4().hex[:8]}",
+            self.num_buckets,
+        )
+        if not new_files:
+            return {"keys": 0, "touched_buckets": [], "max_lsn": None}
+
+        bucket_lsn_updates: dict[int, int] = {}
+        n_keys = 0
+        for b, paths in new_files.items():
+            for p in paths:
+                md = pq.read_metadata(p)
+                n_keys += md.num_rows
+                ci = md.schema.to_arrow_schema().get_field_index("_lsn")
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(ci).statistics
+                    mx = int(st.max)
+                    if mx > bucket_lsn_updates.get(b, 0):
+                        bucket_lsn_updates[b] = mx
+        touched = sorted(new_files)
+        max_lsn = max(bucket_lsn_updates.values())
+        schema_version = schema_version_fn(max_lsn) if schema_version_fn else None
+
+        prev = self.manifest()
+        deltas = {k: list(v) for k, v in prev.get("deltas", {}).items()}
+        for b in touched:
+            deltas.setdefault(str(b), []).extend(sorted(new_files.get(b, [])))
+        self._publish(
+            prev,
+            batch_id=batch_id,
+            files=dict(prev["files"]),
+            deltas=deltas,
+            bucket_lsn_updates=bucket_lsn_updates,
+            schema_version=schema_version,
+            extra_stats={**(extra_stats or {}), "keys": n_keys},
+        )
+        return {"keys": n_keys, "touched_buckets": touched, "max_lsn": max_lsn}
+
     def max_delta_files(self) -> int:
         m = self.manifest()
         return max((len(v) for v in m.get("deltas", {}).values()), default=0)

@@ -4,14 +4,15 @@ Pipeline (SURVEY.md §3.2 Entry A/B), one micro-batch in, one lake
 snapshot out:
 
 1. **A1 dedup** — max-LSN event per (repo, path) (map-side combined).
-2. **bucket & prune (J3)** — compute each key's bucket; collect the
-   touched-bucket set (bounded by ``num_buckets``, NOT by data size — the
-   only driver-side collect in the hot path).
-3. **J1 MERGE** — full-outer join vs only the touched buckets' rows;
-   last-writer-wins by LSN; tombstone deletes.
-4. **S5/S7 copy-on-write commit** — rewrite touched buckets, carry
-   untouched buckets forward, publish manifest atomically, keyed by
-   batch_id (re-delivery = no-op).
+2. **bucket (J3)** — compute each key's bucket (codegen'd hash).
+3. **apply** — MOR: ONE job (dedup shuffle → bucket-aligned delta
+   write); touched buckets + watermarks recovered from the parquet
+   footers of the just-written files (driver-side, ≤num_buckets files,
+   no second pass over data). CoW: small bucket-stats collect
+   (≤num_buckets rows) → full-outer MERGE vs touched buckets only →
+   rewrite (J1).
+4. **S5/S7 commit** — publish manifest atomically, keyed by batch_id
+   (re-delivery = no-op).
 5. **lineage + T7 metrics** — per-bucket applied-LSN watermarks and a
    rows/sec JSONL record.
 
@@ -66,56 +67,53 @@ def apply_batch(
     ev = events.select(*EVENT_COLS)
     staged = dedup_latest_lsn(ev, keys=["repo", "path"], order_col="lsn")
     staged = staged.withColumn("_bucket", bucket_expr(lake.num_buckets))
-    # staged feeds two jobs (bucket-stats collect, then the MERGE write);
-    # persist so the source scan + dedup shuffle run once per batch.
-    staged = staged.persist()
 
-    # touched buckets + per-bucket watermark + batch size in ONE small
-    # aggregation (≤ num_buckets rows collected — scale-independent).
-    bstats = (
-        staged.groupBy("_bucket")
-        .agg(F.max("lsn").alias("max_lsn"), F.count("*").alias("keys"))
-        .collect()
-    )
-    if not bstats:
-        staged.unpersist()
-        rec = {"batch_id": batch_id, "skipped": False, "rows": 0, "empty": True,
-               "seconds": time.time() - t0}
-        lake.append_metrics(rec)
-        return rec
-    touched = sorted(int(r["_bucket"]) for r in bstats)
-    bucket_lsn = {int(r["_bucket"]): int(r["max_lsn"]) for r in bstats}
-    n_keys = sum(int(r["keys"]) for r in bstats)
-
-    schema_version = registry.current_version(max(bucket_lsn.values())) if registry else None
     compacted = 0
-    try:
-        if lake.mode == "mor":
-            # merge-on-read: append the deduped batch as delta files —
-            # O(batch) writes, no table read. LWW resolution happens at
-            # read (and is folded back in by periodic compaction below).
-            phys = staged.select(
-                "repo",
-                "path",
-                "commit",
-                "lang",
-                "content",
-                F.col("lsn").alias("_lsn"),
-                (F.col("op") == "delete").alias("_deleted"),
-                F.sha2(F.coalesce("content", F.lit("")), 256).alias("_content_sha"),
-                "_bucket",
+    schema_fn = registry.current_version if registry else None
+    if lake.mode == "mor":
+        # merge-on-read: ONE Spark job per batch — scan → dedup shuffle →
+        # bucket-aligned delta write. Touched buckets + per-bucket
+        # applied-LSN watermarks are recovered from the parquet footers
+        # of the files just written (driver-side, ≤num_buckets files),
+        # so no second pass over the data and nothing to persist.
+        phys = staged.select(
+            "repo",
+            "path",
+            "commit",
+            "lang",
+            "content",
+            F.col("lsn").alias("_lsn"),
+            (F.col("op") == "delete").alias("_deleted"),
+            F.sha2(F.coalesce("content", F.lit("")), 256).alias("_content_sha"),
+            "_bucket",
+        )
+        res = lake.append_delta(phys, batch_id=batch_id, schema_version_fn=schema_fn)
+        committed = res is not None and res["keys"] > 0
+        n_keys = res["keys"] if res else 0
+        touched = res["touched_buckets"] if res else []
+        if committed and lake.max_delta_files() >= lake.compact_every:
+            compacted = lake.compact(spark)
+    else:
+        # copy-on-write needs the touched-bucket set BEFORE reading the
+        # target (partition pruning), so staged feeds two jobs: a small
+        # bucket-stats collect (≤num_buckets rows — scale-independent),
+        # then the MERGE rewrite. persist() runs the dedup shuffle once.
+        staged = staged.persist()
+        try:
+            bstats = (
+                staged.groupBy("_bucket")
+                .agg(F.max("lsn").alias("max_lsn"), F.count("*").alias("keys"))
+                .collect()
             )
-            committed = lake.commit_delta(
-                phys,
-                batch_id=batch_id,
-                touched_buckets=touched,
-                bucket_lsn_updates=bucket_lsn,
-                schema_version=schema_version,
-                extra_stats={"keys": n_keys},
-            )
-            if committed and lake.max_delta_files() >= lake.compact_every:
-                compacted = lake.compact(spark)
-        else:
+            if not bstats:
+                rec = {"batch_id": batch_id, "skipped": False, "rows": 0,
+                       "empty": True, "seconds": time.time() - t0}
+                lake.append_metrics(rec)
+                return rec
+            touched = sorted(int(r["_bucket"]) for r in bstats)
+            bucket_lsn = {int(r["_bucket"]): int(r["max_lsn"]) for r in bstats}
+            n_keys = sum(int(r["keys"]) for r in bstats)
+            schema_version = schema_fn(max(bucket_lsn.values())) if schema_fn else None
             target = lake.read_raw(spark, buckets=touched)
             merged = merge_upserts(target, staged.drop("_bucket"), lake.num_buckets)
             committed = lake.write_and_commit(
@@ -126,8 +124,8 @@ def apply_batch(
                 schema_version=schema_version,
                 extra_stats={"keys": n_keys},
             )
-    finally:
-        staged.unpersist()
+        finally:
+            staged.unpersist()
     dt = time.time() - t0
     rec = {
         "batch_id": batch_id,
