@@ -72,6 +72,11 @@ def run_level(cores: int, zpath: str, events_dir: str, work_root: str) -> dict:
 def main() -> None:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    # ~1.5 KB payloads: a source-code CDC row carries a file's content —
+    # sizing the fixture like the target workload keeps the job
+    # compute-bound (sha256 + shuffle + parquet encode), which is what
+    # the N-vs-4N efficiency criterion is about.
+    content_len = int(sys.argv[3]) if len(sys.argv) > 3 else 1500
 
     from tartare_spark.fixtures import FixtureSpec, write_events_parquet_fast
 
@@ -79,7 +84,10 @@ def main() -> None:
     try:
         zpath = build_engine_zip(work_root)
         events_dir = os.path.join(work_root, "events")
-        spec = FixtureSpec(n_repos=2000, paths_per_repo=500, n_events=n_events)
+        spec = FixtureSpec(
+            n_repos=2000, paths_per_repo=500, n_events=n_events,
+            content_len=content_len,
+        )
         n_written = write_events_parquet_fast(
             events_dir, spec, events_per_file=max(n_events // 32, 1)
         )

@@ -1152,6 +1152,33 @@ def mm1_blob_metadata(spark, sf_dir):
     )
 
 
+@demo(
+    "mm2_resize_blob",
+    "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_in, "
+    "CAST(least(octet_length(encode(text)), 4096) AS BIGINT) AS n_bytes_out "
+    "FROM documents",
+)
+def mm2_resize_blob(spark, sf_dir):
+    """Multimodal resize plumbing (deterministic fake kernel — real
+    decode+resize swaps one line; operators/multimodal.py)."""
+    from tartare_spark.operators.multimodal import attach_binary_payload, resize_blob
+
+    docs = T(spark, sf_dir, "documents")
+    return resize_blob(attach_binary_payload(docs), target_bytes=4096).select(
+        "doc_id", "n_bytes_in", "n_bytes_out"
+    )
+
+
+@demo("mm3_feature_extract")  # rows-only: byte-histogram embedding not SQL-tersely-expressible
+def mm3_feature_extract(spark, sf_dir):
+    """Multimodal feature extraction (deterministic fake: L1-normalized
+    byte histogram as array<float> — the CNN-embedding batch contract)."""
+    from tartare_spark.operators.multimodal import attach_binary_payload, extract_features
+
+    docs = T(spark, sf_dir, "documents")
+    return extract_features(attach_binary_payload(docs), n_bins=16)
+
+
 _STOP_IN = "('the','a','and','of','to','in','is','it','for','on')"
 _TOKS = "regexp_split_to_array(trim(text), '\\s+')"
 _LTOKS = "regexp_split_to_array(trim(lower(text)), '\\s+')"

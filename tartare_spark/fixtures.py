@@ -64,6 +64,11 @@ class FixtureSpec:
     # registry evolution points (FIXTURES.md §3): v2 adds `lang`,
     # v3 renames `lang` -> `language`.
     seed: int = SEED
+    # approximate content payload size in bytes (bench knob: a real
+    # source-code CDC row carries a whole file, KBs not tens of bytes;
+    # affects only generate_change_events_fast — the pure-Python
+    # correctness fixture keeps its pinned content_for() strings)
+    content_len: int = 240
 
     @property
     def v2_lsn(self) -> int:
@@ -256,8 +261,9 @@ def generate_change_events_fast(spec: FixtureSpec) -> pa.Table:
 
     lsn_s = pd.Series(lsn).astype(str)
     mix = (lsn * np.int64(2654435761)) & np.int64(0x7FFFFFFFFFFFFFFF)
+    reps = max(1, spec.content_len // 15)
     content = ("// " + pd.Series(repo_s) + ":" + pd.Series(path_s) + " v"
-               + lsn_s + "\n" + pd.Series(mix).apply(lambda v: f"{v:015x}") * 4)
+               + lsn_s + "\n" + pd.Series(mix).apply(lambda v: f"{v:015x}") * reps)
     content = content.where(~pd.Series(is_del), "")
     commit = pd.Series(((lsn * 1099511628211) & 0xFFFFFFFFFFFF)).apply(
         lambda v: f"{v:012x}"

@@ -58,6 +58,56 @@ def extract_blob_metadata(docs_with_blob: DataFrame) -> DataFrame:
     return docs_with_blob.mapInPandas(kernel, BLOB_META_SCHEMA)
 
 
+def resize_blob(docs_with_blob: DataFrame, target_bytes: int = 4096) -> DataFrame:
+    """Resize with a DETERMINISTIC FAKE kernel: real resize needs an
+    image lib (absent here), so the kernel truncates the payload to
+    ``target_bytes`` — same mapInPandas batch shape, schema, and Arrow
+    binary transfer a PIL ``Image.resize`` kernel would use. Swap the
+    one marked line on a real cluster."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf["blob"]
+            out = blobs.map(lambda b: bytes(b[:target_bytes]))  # FAKE: real impl = decode+resize+re-encode
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes_in": blobs.map(len).astype("int64"),
+                    "n_bytes_out": out.map(len).astype("int64"),
+                    "blob_out": out,
+                }
+            )
+
+    return docs_with_blob.mapInPandas(
+        kernel, "doc_id long, n_bytes_in long, n_bytes_out long, blob_out binary"
+    )
+
+
+def extract_features(docs_with_blob: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Feature extraction with a DETERMINISTIC FAKE kernel: an L1-
+    normalized byte histogram standing in for a CNN/audio embedding.
+    The production contract — fixed-width ``array<float>`` out of a
+    vectorized numpy kernel over Arrow batches — is exactly this."""
+    import numpy as np
+
+    assert n_bins & (n_bins - 1) == 0 and 1 <= n_bins <= 256
+    shift = 8 - int(np.log2(n_bins))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["blob"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append([0.0] * n_bins)
+                    continue
+                hist = np.bincount(arr >> shift, minlength=n_bins)
+                feats.append((hist[:n_bins] / arr.size).astype("float32").tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return docs_with_blob.mapInPandas(kernel, "doc_id long, features array<float>")
+
+
 def decode_image(docs_with_blob: DataFrame) -> DataFrame:  # pragma: no cover
     """STUB — image decode (PIL/OpenCV absent in this container).
 

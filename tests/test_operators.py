@@ -129,6 +129,24 @@ def test_blob_metadata_plumbing(spark):
         assert r["magic"] == src[r["doc_id"]].encode("utf-8")[:4].hex()
 
 
+def test_resize_and_features_plumbing(spark):
+    from tartare_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+        resize_blob,
+    )
+
+    docs = attach_binary_payload(_docs(spark).limit(20))
+    resized = resize_blob(docs, target_bytes=64).collect()
+    assert all(r["n_bytes_out"] == min(r["n_bytes_in"], 64) for r in resized)
+    assert all(len(bytes(r["blob_out"])) == r["n_bytes_out"] for r in resized)
+
+    feats = extract_features(docs, n_bins=16).collect()
+    assert all(len(r["features"]) == 16 for r in feats)
+    # L1-normalized histogram sums to ~1 for non-empty blobs
+    assert all(abs(sum(r["features"]) - 1.0) < 1e-3 for r in feats)
+
+
 def test_multimodal_stubs_raise(spark):
     from tartare_spark.operators.multimodal import attach_binary_payload, decode_image
 
