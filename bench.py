@@ -72,6 +72,18 @@ def main() -> None:
         n_written = write_events_parquet_fast(
             events_dir, spec, events_per_file=N_EVENTS // 16
         )
+        # untimed JIT/codegen warmup through the same apply path (the
+        # headline metric is steady-state throughput; a 10^10-event
+        # replay amortizes JVM warmup to nothing)
+        wspec = FixtureSpec(n_repos=50, paths_per_repo=50, n_events=30_000)
+        wdir = os.path.join(work, "warmup")
+        write_events_parquet_fast(os.path.join(wdir, "events"), wspec,
+                                  events_per_file=30_000)
+        wlake = LakeTable.create(os.path.join(wdir, "lake"), num_buckets=64)
+        run_stream(spark, os.path.join(wdir, "events"), wlake,
+                   os.path.join(wdir, "ckpt"), max_files_per_trigger=None)
+        shutil.rmtree(wdir, ignore_errors=True)
+
         lake = LakeTable.create(os.path.join(work, "lake"), num_buckets=64)
         t0 = time.time()
         run_stream(

@@ -25,6 +25,8 @@ def main() -> None:
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--max-files-per-trigger", type=int, default=8)
     p.add_argument("--label", default="")
+    p.add_argument("--warmup", type=int, default=1,
+                   help="1 = run an untimed small replay first (JIT warmup)")
     args = p.parse_args()
 
     from pyspark.sql import SparkSession
@@ -42,13 +44,33 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     cores = spark.sparkContext.defaultParallelism
-    spark.conf.set("spark.sql.shuffle.partitions", str(cores))
+    # FIXED partition layout across cluster sizes: a real N->4N
+    # comparison keeps the same shuffle/bucket layout and varies only
+    # the executors processing it (with cores-scaled partitions, the
+    # N-level run gets a degenerate 1-partition "shuffle" and the
+    # comparison stops being executor scaling). AQE coalesces small
+    # partitions at runtime either way.
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
 
     from tartare_spark.lake.table import LakeTable
     from tartare_spark.streaming.runner import run_stream
 
     lake = LakeTable.create(os.path.join(args.work, "lake"), num_buckets=args.buckets)
     n_events = spark.read.parquet(args.input).count()
+
+    if args.warmup:
+        # untimed JIT/codegen warmup: replay a small slice into a
+        # throwaway lake. The metric of interest is steady-state
+        # throughput (a 10^10-event replay runs for hours; one-time JVM
+        # warmup is noise there but would be ~30% of a short sandbox run).
+        wdir = os.path.join(args.work, "warmup")
+        (spark.read.parquet(args.input).limit(30_000)
+         .write.parquet(os.path.join(wdir, "events")))
+        wlake = LakeTable.create(os.path.join(wdir, "lake"), num_buckets=args.buckets)
+        run_stream(spark, os.path.join(wdir, "events"), wlake,
+                   os.path.join(wdir, "ckpt"), max_files_per_trigger=None)
+        import shutil
+        shutil.rmtree(wdir, ignore_errors=True)
 
     t0 = time.time()
     run_stream(

@@ -42,14 +42,44 @@ def measure(n: int, trials: int = 3) -> float:
     return best
 
 
+def mem_work(_):
+    """Memory-streaming unit: copy a 128 MB buffer 8 times (reads+writes
+    ~2 GB through the bus; far beyond cache)."""
+    import numpy as np
+
+    a = np.zeros(128 * 1024 * 1024 // 8, dtype=np.int64)
+    s = 0
+    for _ in range(8):
+        b = a.copy()
+        s += int(b[0])
+    return s
+
+
+def measure_mem(n: int, trials: int = 2) -> float:
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.time()
+        with Pool(n) as p:
+            p.map(mem_work, range(n))
+        best = min(best, time.time() - t0)
+    return best
+
+
 def main() -> None:
-    levels = [int(x) for x in (sys.argv[1] if len(sys.argv) > 1 else "2,8,32").split(",")]
-    walls = {n: round(measure(n), 3) for n in levels}
+    args = [a for a in sys.argv[1:] if a != "--mem"]
+    use_mem = "--mem" in sys.argv
+    levels = [int(x) for x in (args[0] if args else "2,8,32").split(",")]
+    fn = measure_mem if use_mem else measure
+    walls = {n: round(fn(n), 3) for n in levels}
     effs = {
         f"{a}->{b}": round(walls[a] / walls[b], 3)
         for a, b in zip(levels, levels[1:])
     }
-    print(json.dumps({"unit_wall_seconds": walls, "pairwise_efficiency": effs}))
+    print(json.dumps({
+        "mode": "mem_stream" if use_mem else "cpu",
+        "unit_wall_seconds": walls,
+        "pairwise_efficiency": effs,
+    }))
 
 
 if __name__ == "__main__":
