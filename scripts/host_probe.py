@@ -47,11 +47,13 @@ def mem_work(_):
     ~2 GB through the bus; far beyond cache)."""
     import numpy as np
 
-    a = np.zeros(128 * 1024 * 1024 // 8, dtype=np.int64)
+    # real data, not np.zeros: zero pages are COW-shared and cache-hot,
+    # which would measure the cache, not the memory bus
+    a = np.arange(128 * 1024 * 1024 // 8, dtype=np.int64)
     s = 0
     for _ in range(8):
         b = a.copy()
-        s += int(b[0])
+        s += int(b[-1])
     return s
 
 
