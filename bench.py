@@ -7,9 +7,9 @@ generated fixture, plus representative operator queries on
 ``local[$SPARK_GRAFT_CPUS]``. Prints ONE JSON line:
 ``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
 
-The N-vs-4N scaling evidence (local[8] vs local[32]) lives in
-scripts/scaling_bench.py → BENCH/BASELINE.md; this file is the
-fast per-round feedback loop.
+The N-vs-4N scaling evidence (local[1] vs local[4] executors — see
+BENCH/BASELINE.md for the host-ceiling rationale) lives in
+scripts/scaling_bench.py; this file is the fast per-round feedback loop.
 """
 
 from __future__ import annotations
@@ -91,7 +91,7 @@ def main() -> None:
             events_dir,
             lake,
             os.path.join(work, "ckpt"),
-            max_files_per_trigger=4,
+            max_files_per_trigger=8,  # big micro-batches: the 10^10-scale design point
         )
         dt = time.time() - t0
         queries["cdc_stream_replay"] = round(dt, 3)

@@ -962,7 +962,19 @@ def dd1_exact_dedup(spark, sf_dir):
     return exact_dedup_groups(T(spark, sf_dir, "documents"))
 
 
-_MINHASH_SQL = """
+def _minhash_sql() -> str:
+    # same pinned affine family as operators/dedup_docs.py — bit parity
+    from tartare_spark.operators.dedup_docs import (
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_MOD,
+    )
+
+    sig_terms = ",\n          ".join(
+        f"list_min([({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_MOD} for h in hs])"
+        for i in range(12)
+    )
+    return f"""
 WITH docs AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
   FROM documents WHERE doc_id % 5 = 0
@@ -975,12 +987,15 @@ WITH docs AS (
                                   for i in range(1, len(t) - 1)])
               ELSE [norm] END AS shingles
   FROM toks
+), hs AS (
+  SELECT doc_id,
+         list_transform(shingles,
+           s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT)) AS hs
+  FROM sh
 ), sig AS (
   SELECT doc_id,
-         [list_min([CAST(('0x' || substr(md5(CAST(k AS VARCHAR) || '|' || s), 1, 15)) AS BIGINT)
-                    for s in shingles])
-          for k in range(0, 12)] AS sig
-  FROM sh
+         [{sig_terms}] AS sig
+  FROM hs
 ), bands AS (
   SELECT doc_id, b, CAST(sig[b+1] AS VARCHAR) AS bkey
   FROM sig, (SELECT unnest(generate_series(0, 11)) AS b)
@@ -989,6 +1004,9 @@ SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
   ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 """
+
+
+_MINHASH_SQL = _minhash_sql()
 
 
 @demo("dd2_minhash_lsh", _MINHASH_SQL)

@@ -66,25 +66,48 @@ def md5_int(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def md5_int32(col):
+    """First 8 hex digits of md5 as a BIGINT in [0, 2^32) — the base
+    hash for the affine MinHash family (DuckDB:
+    CAST('0x'||substr(md5(x),1,8) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+# Affine universal-hash family over the 32-bit base hash:
+# h_i(s) = (A[i]*md5_32(s) + B[i]) mod 2^32. One md5 per shingle instead
+# of k (the K-seeded-md5 variant recomputes the digest k times — at
+# 100 TB the digest IS the dominant cost). A[i] odd and < 2^30 keeps
+# A*h + B < 2^62: exact in signed-64 arithmetic in BOTH Spark and DuckDB
+# (DuckDB raises on BIGINT overflow, so staying in range is part of the
+# oracle contract). Constants are pinned literals for bit-parity.
+MINHASH_MOD = 2**32
+MINHASH_A = [(1000003 * (2 * i + 1)) % 2**30 | 1 for i in range(16)]
+MINHASH_B = [(777767777 * (i + 1)) % 2**32 for i in range(16)]
+
+
 # ----------------------------------------------------------------------
 # MinHash + LSH
 # ----------------------------------------------------------------------
 def minhash_signature(docs: DataFrame, id_col: str, text_col: str, k: int = 12, shingle_n: int = 3) -> DataFrame:
-    """K minhashes per doc: min over shingles of md5_int(seed || shingle),
-    as an array column ``sig`` of length k.
+    """K minhashes per doc as an array column ``sig`` of length k:
+    h_i = min over shingles of (A[i]*md5_32(shingle) + B[i]) mod 2^32.
 
-    Shape: explode shingles → groupBy(doc) with k min-aggregates. The
-    explode multiplies rows by |shingles| but every min() is map-side
-    combined, so the shuffle carries exactly k longs per doc — the
-    standard MinHash-on-Spark plan at any scale. (An earlier variant
-    used k sibling ``transform`` lambdas in one projection; nested
-    same-named lambda variables made it unstable — keep HOF lambdas
-    un-nested.)"""
+    Shape: explode shingles → ONE md5 per shingle → groupBy(doc) with k
+    min-aggregates over cheap affine transforms (codegen'd long math).
+    The explode multiplies rows by |shingles| but every min() is
+    map-side combined, so the shuffle carries exactly k longs per doc —
+    the standard MinHash-on-Spark plan at any scale. The earlier
+    k-seeded-md5 variant recomputed the digest k times per shingle;
+    the digest dominates, so this is ~k× less hashing."""
+    assert k <= len(MINHASH_A)
     sh = docs.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
-    )
+    ).select(F.col(id_col), md5_int32(F.col("s")).alias("h"))
     aggs = [
-        F.min(md5_int(F.concat(F.lit(f"{i}|"), F.col("s")))).alias(f"_h{i}")
+        F.min(
+            (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+            % F.lit(MINHASH_MOD)
+        ).alias(f"_h{i}")
         for i in range(k)
     ]
     packed = sh.groupBy(id_col).agg(*aggs)
