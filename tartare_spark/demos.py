@@ -1170,6 +1170,20 @@ def mm1_blob_metadata(spark, sf_dir):
     )
 
 
+@demo("sim3_ann_ivf")  # rows-only: IVF cell assignment not SQL-tersely-expressible
+def sim3_ann_ivf(spark, sf_dir):
+    """IVF inverted-file ANN — the partition-pruned scale path named in
+    the task brief (centroid assign -> probe n closest cells)."""
+    from tartare_spark.operators.similarity import ivf_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    vectors = emb.filter(F.col("vec_id") >= 5)
+    return ivf_topk(vectors, queries, k=5, n_cells=16, n_probe=4)
+
+
 @demo(
     "mm2_resize_blob",
     "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_in, "

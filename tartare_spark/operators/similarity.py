@@ -80,6 +80,73 @@ def hyperplane_bucket(vec_col, n_planes: int = 8, dim: int | None = None, seed: 
     return sig
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition vectors into ``n_cells`` cells
+    by nearest centroid, then search each query only in its ``n_probe``
+    closest cells (exact cosine within).
+
+    Centroids are a deterministic sample of the corpus (the n_cells
+    lowest-id vectors via TakeOrdered — a k-means iteration can refine
+    them on a real cluster, but assignment/probe mechanics, the Spark
+    plan, and the recall/probe trade-off are identical). Scale shape:
+    the centroid table is tiny and BROADCAST twice (once to assign the
+    corpus — a one-time index build that would be written out
+    partitioned by cell — once to route queries); a query then touches
+    ~n_probe/n_cells of the data. All dot products are codegen'd
+    zip_with/aggregate — no Python.
+    """
+    c0 = vectors.select(F.col(id_col), F.col(vec_col)).orderBy(F.asc(id_col)).limit(n_cells)
+    # row_number window runs over the already-limited n_cells rows only
+    centroids = c0.select(
+        (F.row_number().over(Window.orderBy(F.asc(id_col))) - 1).alias("cell"),
+        F.col(vec_col).alias("c_vec"),
+    )
+
+    def assign(df, vcol, out, keep, top):
+        scored = df.crossJoin(F.broadcast(centroids)).select(
+            *keep,
+            F.col("cell"),
+            cosine(F.col(vcol), F.col("c_vec")).alias("_cs"),
+        )
+        ww = Window.partitionBy(*keep).orderBy(F.desc("_cs"), F.asc("cell"))
+        return (
+            scored.withColumn("_r", F.row_number().over(ww))
+            .filter(F.col("_r") <= top)
+            .select(*keep, F.col("cell").alias(out))
+        )
+
+    v_cells = vectors.join(
+        assign(vectors.select(id_col, vec_col), vec_col, "cell", [id_col], 1),
+        id_col,
+    )
+    q_cells = queries.join(
+        assign(queries.select(q_id_col, q_vec_col), q_vec_col, "cell", [q_id_col], n_probe),
+        q_id_col,
+    )
+    j = v_cells.join(F.broadcast(q_cells), "cell")
+    scored = j.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("cos"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(q_id_col, id_col, "cos", "rk")
+    )
+
+
 def lsh_bucketed_topk(
     vectors: DataFrame,
     queries: DataFrame,

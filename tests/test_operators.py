@@ -113,6 +113,26 @@ def test_lsh_bucketed_recall_at_least_self(spark):
     assert all(r["vec_id"] == r["q_id"] for r in rows)
 
 
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    from tartare_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    vectors = emb.filter(F.col("vec_id") >= 3)
+    exact = brute_force_topk(vectors, queries, k=3)
+    approx = ivf_topk(vectors, queries, k=3, n_cells=8, n_probe=8)
+    # probing ALL cells makes IVF exhaustive -> must equal brute force
+    e = {(r["q_id"], r["vec_id"], r["rk"]) for r in exact.collect()}
+    a = {(r["q_id"], r["vec_id"], r["rk"]) for r in approx.collect()}
+    assert e == a
+    # with fewer probes it returns <= k rows per query, all from real ids
+    part = ivf_topk(vectors, queries, k=3, n_cells=8, n_probe=2)
+    rows = part.collect()
+    assert all(r["rk"] <= 3 for r in rows)
+
+
 def test_blob_metadata_plumbing(spark):
     from tartare_spark.operators.multimodal import (
         attach_binary_payload,
