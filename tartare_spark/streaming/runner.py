@@ -36,6 +36,7 @@ def run_stream(
     drop_dup_within_watermark: bool = False,
     watermark: str = "30 minutes",
     await_termination: bool = True,
+    stateful_fence: bool = False,
 ):
     """Tail ``events_dir`` (parquet file stream) into ``lake``.
 
@@ -45,6 +46,12 @@ def run_stream(
     the stateful dedup adds a shuffle + state store per batch. Turn it on
     when upstream redelivery is heavy enough that shrinking batches
     beats the extra exchange.
+
+    ``stateful_fence`` adds the T5 operator (streaming/stateful.py): a
+    per-key applied-LSN fence in the state store that drops cross-batch
+    stale/duplicate events before the apply. Same trade-off as T2 —
+    correctness never needs it (the MERGE is idempotent); it pays one
+    extra keyed shuffle to cut apply volume under heavy redelivery.
     """
     reader = spark.readStream.schema(CHANGE_EVENT_SCHEMA)
     if max_files_per_trigger:
@@ -52,6 +59,10 @@ def run_stream(
     src = reader.parquet(events_dir)
     if drop_dup_within_watermark:
         src = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["lsn"])
+    if stateful_fence:
+        from tartare_spark.streaming.stateful import stateful_lsn_filter
+
+        src = stateful_lsn_filter(src)
 
     def _apply(batch_df, batch_id: int):
         apply_batch(spark, lake, batch_df, batch_id, registry=registry)

