@@ -91,8 +91,17 @@ def apply_batch(
         committed = res is not None and res["keys"] > 0
         n_keys = res["keys"] if res else 0
         touched = res["touched_buckets"] if res else []
-        if committed and lake.max_delta_files() >= lake.compact_every:
-            compacted = lake.compact(spark)
+        if committed:
+            # incremental compaction: fold back ONLY the buckets whose
+            # delta chains crossed the threshold (not every delta'd
+            # bucket) — keeps maintenance O(hot buckets), not O(table)
+            m = lake.manifest()
+            worst = [
+                int(b) for b, fl in m.get("deltas", {}).items()
+                if len(fl) >= lake.compact_every
+            ]
+            if worst:
+                compacted = lake.compact(spark, buckets=worst)
     else:
         # copy-on-write needs the touched-bucket set BEFORE reading the
         # target (partition pruning), so staged feeds two jobs: a small
