@@ -35,6 +35,7 @@ RAW_LAKE_SCHEMA = StructType(
         StructField("_lsn", LongType(), False),
         StructField("_deleted", BooleanType(), False),
         StructField("_content_sha", StringType(), True),
+        StructField("_ts", TimestampType(), True),
         StructField("_bucket", IntegerType(), True),
     ]
 )

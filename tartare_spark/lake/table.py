@@ -74,6 +74,7 @@ LAKE_COLUMNS = [
     "_lsn",
     "_deleted",
     "_content_sha",
+    "_ts",  # event time of the applied version (drives per-batch lag)
 ]
 
 
@@ -214,7 +215,7 @@ class LakeTable:
         df = (
             self.read_raw(spark, version=version)
             .filter(~F.col("_deleted"))
-            .drop("_bucket")
+            .drop("_bucket", "_ts")
         )
         if registry is not None:
             m = self.manifest(version)
@@ -339,16 +340,23 @@ class LakeTable:
 
         bucket_lsn_updates: dict[int, int] = {}
         n_keys = 0
+        max_ts = None
         for b, paths in new_files.items():
             for p in paths:
                 md = pq.read_metadata(p)
                 n_keys += md.num_rows
-                ci = md.schema.to_arrow_schema().get_field_index("_lsn")
+                sch = md.schema.to_arrow_schema()
+                ci = sch.get_field_index("_lsn")
+                ti = sch.get_field_index("_ts")
                 for g in range(md.num_row_groups):
                     st = md.row_group(g).column(ci).statistics
                     mx = int(st.max)
                     if mx > bucket_lsn_updates.get(b, 0):
                         bucket_lsn_updates[b] = mx
+                    tst = md.row_group(g).column(ti).statistics
+                    if tst is not None and tst.max is not None:
+                        if max_ts is None or tst.max > max_ts:
+                            max_ts = tst.max
         touched = sorted(new_files)
         max_lsn = max(bucket_lsn_updates.values())
         schema_version = schema_version_fn(max_lsn) if schema_version_fn else None
@@ -366,7 +374,12 @@ class LakeTable:
             schema_version=schema_version,
             extra_stats={**(extra_stats or {}), "keys": n_keys},
         )
-        return {"keys": n_keys, "touched_buckets": touched, "max_lsn": max_lsn}
+        return {
+            "keys": n_keys,
+            "touched_buckets": touched,
+            "max_lsn": max_lsn,
+            "max_event_ts": max_ts,
+        }
 
     def max_delta_files(self) -> int:
         m = self.manifest()

@@ -40,7 +40,7 @@ from tartare_spark.lake.table import LakeTable, bucket_expr
 from tartare_spark.operators.dedup import dedup_latest_lsn
 from tartare_spark.operators.merge import merge_upserts
 
-EVENT_COLS = ["lsn", "op", "repo", "path", "commit", "lang", "content"]
+EVENT_COLS = ["lsn", "op", "repo", "path", "commit", "lang", "content", "ts"]
 
 
 def apply_batch(
@@ -85,12 +85,14 @@ def apply_batch(
             F.col("lsn").alias("_lsn"),
             (F.col("op") == "delete").alias("_deleted"),
             F.sha2(F.coalesce("content", F.lit("")), 256).alias("_content_sha"),
+            F.col("ts").alias("_ts"),
             "_bucket",
         )
         res = lake.append_delta(phys, batch_id=batch_id, schema_version_fn=schema_fn)
         committed = res is not None and res["keys"] > 0
         n_keys = res["keys"] if res else 0
         touched = res["touched_buckets"] if res else []
+        max_event_ts = res.get("max_event_ts") if res else None
         if committed:
             # incremental compaction: fold back ONLY the buckets whose
             # delta chains crossed the threshold (not every delta'd
@@ -111,7 +113,11 @@ def apply_batch(
         try:
             bstats = (
                 staged.groupBy("_bucket")
-                .agg(F.max("lsn").alias("max_lsn"), F.count("*").alias("keys"))
+                .agg(
+                    F.max("lsn").alias("max_lsn"),
+                    F.count("*").alias("keys"),
+                    F.max("ts").alias("max_ts"),
+                )
                 .collect()
             )
             if not bstats:
@@ -122,6 +128,10 @@ def apply_batch(
             touched = sorted(int(r["_bucket"]) for r in bstats)
             bucket_lsn = {int(r["_bucket"]): int(r["max_lsn"]) for r in bstats}
             n_keys = sum(int(r["keys"]) for r in bstats)
+            max_event_ts = max(
+                (r["max_ts"] for r in bstats if r["max_ts"] is not None),
+                default=None,
+            )
             schema_version = schema_fn(max(bucket_lsn.values())) if schema_fn else None
             target = lake.read_raw(spark, buckets=touched)
             merged = merge_upserts(target, staged.drop("_bucket"), lake.num_buckets)
@@ -144,6 +154,16 @@ def apply_batch(
         "compacted_buckets": compacted,
         "seconds": round(dt, 4),
         "keys_per_sec": round(n_keys / dt, 2) if dt > 0 else None,
+        # T7 lag: wall-clock now minus the newest event time applied in
+        # this batch (how far behind the log's head this commit is).
+        # The fixture's synthetic timestamps make this large/negative in
+        # tests; on a live tail it is the consumer-lag metric.
+        "max_event_ts": max_event_ts.isoformat() if max_event_ts else None,
+        "lag_seconds": (
+            round(time.time() - max_event_ts.timestamp(), 3)
+            if max_event_ts
+            else None
+        ),
     }
     lake.append_metrics(rec)
     return rec

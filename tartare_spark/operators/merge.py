@@ -43,6 +43,7 @@ def merge_upserts(
         F.col("_lsn").alias("t_lsn"),
         F.col("_deleted").alias("t_deleted"),
         F.col("_content_sha").alias("t_sha"),
+        F.col("_ts").alias("t_ts"),
     )
     s = staged.select(
         F.col("repo").alias("s_repo"),
@@ -52,6 +53,7 @@ def merge_upserts(
         F.col("content").alias("s_content"),
         F.col("lsn").alias("s_lsn"),
         F.col("op").alias("s_op"),
+        F.col("ts").alias("s_ts"),
     )
     j = t.join(
         s,
@@ -75,6 +77,7 @@ def merge_upserts(
         F.when(staged_wins, F.sha2(F.coalesce(F.col("s_content"), F.lit("")), 256))
         .otherwise(F.col("t_sha"))
         .alias("_content_sha"),
+        pick("s_ts", "t_ts").alias("_ts"),
     )
     return out.withColumn("_bucket", bucket_expr(num_buckets))
 

@@ -35,9 +35,14 @@ def test_streaming_replay_matches_referee(spark, unit_events_dir, tmp_path, expe
     )
     assert lake.current_version() >= 2  # multiple micro-batches happened
     _assert_matches(spark, lake, reg, expected)
-    # T7: every committed batch has a metrics record with throughput
+    # T7: every committed batch has a metrics record with throughput AND
+    # event-time lag (footer-derived max event ts per batch)
     recs = [m for m in lake.metrics() if not m.get("skipped")]
     assert recs and all("keys_per_sec" in m for m in recs if m["rows"])
+    assert all(
+        m["max_event_ts"] is not None and m["lag_seconds"] is not None
+        for m in recs if m["rows"]
+    )
 
 
 def test_streaming_resume_after_kill(spark, unit_events_dir, tmp_path, expected):
