@@ -77,6 +77,18 @@ def test_streaming_rerun_same_checkpoint_noop(spark, unit_events_dir, tmp_path, 
     _assert_matches(spark, lake, reg, expected)
 
 
+def test_streaming_cow_lake(spark, unit_events_dir, tmp_path, expected):
+    """The streaming runner against a copy-on-write lake (the read-heavy
+    mode) converges to the same referee state."""
+    lake = LakeTable.create(str(tmp_path / "lake_cow"), num_buckets=8, mode="cow")
+    reg = SchemaRegistry(registry_rows(UNIT))
+    run_stream(
+        spark, unit_events_dir, lake, str(tmp_path / "ckpt_cow"),
+        registry=reg, max_files_per_trigger=10,
+    )
+    _assert_matches(spark, lake, reg, expected)
+
+
 def test_streaming_stateful_fence_path(spark, unit_events_dir, tmp_path, expected):
     """T5: the applyInPandasWithState applied-LSN fence yields the same
     final state (it only drops events the LWW merge would discard) and
