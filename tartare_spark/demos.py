@@ -93,7 +93,12 @@ def cdc_apply_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tartare_spark.operators.apply import replay_batches
 
     ch = _events_as_changelog(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="tartare_demo_lake_")
+    # deterministic scratch dir, overwritten per run (repeated driver
+    # invocations must not accumulate orphan lakes in /tmp)
+    import shutil
+
+    root = os.path.join(tempfile.gettempdir(), "tartare_demo_lake")
+    shutil.rmtree(root, ignore_errors=True)
     lake = LakeTable.create(os.path.join(root, "lake"), num_buckets=16)
     replay_batches(spark, lake, ch, num_chunks=4)
     return lake.snapshot(spark).select(
