@@ -223,6 +223,31 @@ class LakeTable:
             df = registry.apply_read(df, watermark)
         return df.drop("_deleted")
 
+    def lookup(self, spark: SparkSession, repo: str, path: str) -> DataFrame:
+        """Point lookup by primary key, pruned to the key's single
+        bucket: reads 1/num_buckets of the table regardless of table
+        size (the CDC workload's 'current content of (repo, path)'
+        query). The bucket id comes from evaluating the SAME hash
+        expression the writer uses on a literal 1-row frame (constant-
+        folded; no data scan)."""
+        b = (
+            spark.range(1)
+            .select(
+                F.pmod(
+                    F.xxhash64(F.lit(repo), F.lit(path)), F.lit(self.num_buckets)
+                )
+                .cast("int")
+                .alias("b")
+            )
+            .collect()[0]["b"]
+        )
+        return (
+            self.read_raw(spark, buckets=[int(b)])
+            .filter((F.col("repo") == repo) & (F.col("path") == path))
+            .filter(~F.col("_deleted"))
+            .drop("_bucket", "_deleted", "_ts")
+        )
+
     # ------------------------------------------------------------------
     # writes
     # ------------------------------------------------------------------

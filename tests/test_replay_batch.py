@@ -124,6 +124,20 @@ def test_snapshot_isolation_time_travel(spark, unit_events, tmp_path):
     assert n_final != n_mid or lake.current_version() == v_mid
 
 
+def test_point_lookup_prunes_to_one_bucket(spark, unit_events, tmp_path):
+    lake = LakeTable.create(str(tmp_path / "lake_pt"), num_buckets=16)
+    replay_batches(spark, lake, unit_events, num_chunks=4)
+    snap = lake.snapshot(spark)
+    sample = snap.limit(3).collect()
+    for r in sample:
+        got = lake.lookup(spark, r["repo"], r["path"]).collect()
+        assert len(got) == 1
+        assert got[0]["content"] == r["content"]
+        assert got[0]["_content_sha"] == r["_content_sha"]
+    # deleted/absent key -> empty
+    assert lake.lookup(spark, "no_such_repo", "no/such/path").count() == 0
+
+
 def test_vacuum_keeps_referenced(spark, unit_events, tmp_path):
     lake = LakeTable.create(str(tmp_path / "lake6"), num_buckets=8)
     replay_batches(spark, lake, unit_events, num_chunks=3)
