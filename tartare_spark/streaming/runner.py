@@ -79,7 +79,25 @@ def run_stream(
     query = writer.start()
     if await_termination:
         query.awaitTermination()
+        # T7 (listener variant): persist Spark's own per-batch progress
+        # (input rate, duration breakdown, source offsets) next to the
+        # engine's metrics log — the two views cross-check each other.
+        dump_progress(query, lake)
     return query
+
+
+def dump_progress(query, lake: LakeTable) -> int:
+    """Append the query's ``recentProgress`` JSON to the lake's metrics
+    dir (progress.jsonl). Returns the number of records written."""
+    import json
+    import os
+
+    recs = query.recentProgress or []
+    path = os.path.join(lake.root, "_metrics", "progress.jsonl")
+    with open(path, "a") as f:
+        for p in recs:
+            f.write(json.dumps(p, default=str) + "\n")
+    return len(recs)
 
 
 def windowed_throughput(spark: SparkSession, events_dir: str, window: str = "1 minute"):
