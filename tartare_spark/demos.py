@@ -1252,3 +1252,58 @@ def tx1_document_stats(spark, sf_dir):
     from tartare_spark.operators.text import document_stats
 
     return document_stats(T(spark, sf_dir, "documents"))
+
+
+@demo(
+    "tx2_vocab_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    )
+    SELECT tok, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+    FROM toks WHERE tok <> ''
+    GROUP BY tok ORDER BY n_total DESC, tok ASC LIMIT 50
+    """,
+)
+def tx2_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary build: top-k tokens by total and doc frequency."""
+    from tartare_spark.operators.text import vocab_topk
+
+    return vocab_topk(T(spark, sf_dir, "documents"), k=50)
+
+
+@demo(
+    "tx3_corpus_quality_report",
+    f"""
+    WITH base AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             len({_TOKS}) AS n_tok,
+             round(least(len({_TOKS}) / 50.0, 1.0)
+               * (1.0 - least((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                              / greatest(length(text), 1) * 5, 1.0))
+               * (CASE WHEN len(list_filter({_LTOKS}, x -> x IN {_STOP_IN}))
+                            / greatest(len({_TOKS}), 1) > 0.02
+                       THEN 1.0 ELSE 0.5 END), 6) AS q
+      FROM documents
+    )
+    SELECT count(*) AS n_docs,
+           count(DISTINCT fp) AS n_unique,
+           round(1.0 - count(DISTINCT fp) / count(*), 6) AS dup_rate,
+           sum(n_tok) AS total_tokens,
+           round(avg(q), 4) AS mean_quality,
+           round(min(q), 4) AS min_quality
+    FROM base
+    """,
+)
+def tx3_corpus_quality_report(spark, sf_dir):
+    """Pre-training corpus health: volume, exact-dup rate, quality stats."""
+    from tartare_spark.operators.text import corpus_quality_report
+
+    rep = corpus_quality_report(T(spark, sf_dir, "documents"))
+    return rep.select(
+        "n_docs", "n_unique", "dup_rate", "total_tokens",
+        F.round("mean_quality", 4).alias("mean_quality"),
+        F.round("min_quality", 4).alias("min_quality"),
+    )

@@ -105,6 +105,46 @@ def normalize_content(s: pd.Series) -> pd.Series:
     )
 
 
+def vocab_topk(docs: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Corpus vocabulary: top-k lowercase whitespace tokens by document
+    frequency and total count. The training-data 'build a vocab' op:
+    explode → groupBy(token) with map-side combine → TakeOrdered(k) —
+    the shuffle carries one (token, partial counts) row per distinct
+    token per partition, never raw text."""
+    toks = docs.select(
+        F.col("doc_id"), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("tok"))
+        .limit(k)
+    )
+
+
+def corpus_quality_report(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row corpus health report: volume, exact-dup rate, quality
+    distribution — the go/no-go summary before a training run. Single
+    aggregation pass (the fingerprint dup-rate rides a subaggregate)."""
+    c = F.col(text_col)
+    per_doc = docs.select(
+        fingerprint(c).alias("fp"),
+        token_count(c).alias("n_tok"),
+        quality_score(c).alias("q"),
+    )
+    return per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        F.round(F.lit(1.0) - F.countDistinct("fp") / F.count("*"), 6).alias("dup_rate"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.avg("q"), 6).alias("mean_quality"),
+        F.round(F.min("q"), 6).alias("min_quality"),
+    )
+
+
 def document_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.col(text_col)
     return docs.select(
