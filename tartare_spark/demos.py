@@ -97,7 +97,7 @@ def cdc_apply_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # invocations must not accumulate orphan lakes in /tmp)
     import shutil
 
-    root = os.path.join(tempfile.gettempdir(), "tartare_demo_lake")
+    root = os.path.join(tempfile.gettempdir(), f"tartare_demo_lake_{os.getpid()}")
     shutil.rmtree(root, ignore_errors=True)
     lake = LakeTable.create(os.path.join(root, "lake"), num_buckets=16)
     replay_batches(spark, lake, ch, num_chunks=4)
