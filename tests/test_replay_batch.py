@@ -124,6 +124,39 @@ def test_snapshot_isolation_time_travel(spark, unit_events, tmp_path):
     assert n_final != n_mid or lake.current_version() == v_mid
 
 
+def test_hot_repo_spreads_over_buckets(spark, unit_events, tmp_path):
+    """Skew (SURVEY §5.2 item 5): the zipf fixture's hottest repo (~20%
+    of events) must NOT concentrate in few buckets — full-key bucketing
+    is the salting scheme. Assert the per-bucket row distribution of the
+    final lake is balanced (max <= 2x mean)."""
+    from pyspark.sql import functions as F
+
+    from tartare_spark.lake.table import bucket_expr
+
+    lake = LakeTable.create(str(tmp_path / "lake_skew"), num_buckets=16)
+    replay_batches(spark, lake, unit_events, num_chunks=4)
+    per_bucket = (
+        lake.snapshot(spark)
+        .withColumn("_b", bucket_expr(16))
+        .groupBy("_b")
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in per_bucket]
+    assert len(counts) == 16  # every bucket populated
+    assert max(counts) <= 2 * (sum(counts) / len(counts))
+    # and the hot repo itself touches (almost) every bucket
+    hot = (
+        lake.snapshot(spark)
+        .filter(F.col("repo") == "repo_0000")
+        .withColumn("_b", bucket_expr(16))
+        .select("_b")
+        .distinct()
+        .count()
+    )
+    assert hot >= 12
+
+
 def test_point_lookup_prunes_to_one_bucket(spark, unit_events, tmp_path):
     lake = LakeTable.create(str(tmp_path / "lake_pt"), num_buckets=16)
     replay_batches(spark, lake, unit_events, num_chunks=4)
