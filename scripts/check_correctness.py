@@ -67,9 +67,24 @@ def main():
         try:
             res = con.execute(ORACLE[name])
             d_cols = [d[0] for d in res.description]
+            d_types = [str(d[1]) for d in res.description]
             d_rows = res.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: DUCKDB ERROR {str(e)[:200]}")
+            bad += 1
+            continue
+        # The driver's value hash is TYPE-sensitive: DuckDB's int128
+        # (HUGEINT, e.g. from sum() over integers) hash-mismatches an
+        # equal Spark BIGINT even though str() comparison passes. Flag
+        # it here so the oracle gets an explicit CAST.
+        exotic = [
+            (c, t)
+            for c, t in zip(d_cols, d_types)
+            if "HUGEINT" in t.upper()
+        ]
+        if exotic:
+            print(f"FAIL  {name}: oracle returns driver-hash-unsafe types {exotic}"
+                  " — CAST to BIGINT in the oracle SQL")
             bad += 1
             continue
         sc, sr = norm_rows(s_cols, s_rows)

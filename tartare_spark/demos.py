@@ -141,7 +141,7 @@ def s4_csv_source(spark, sf_dir):
 
 @demo(
     "s6_publish_export",
-    "SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars "
+    "SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars "
     "FROM documents GROUP BY lang",
 )
 def s6_publish_export(spark, sf_dir):
@@ -464,11 +464,29 @@ def a4_distinct_count(spark, sf_dir):
     )
 
 
-@demo("a4b_approx_distinct")  # no oracle: approximate by design (rows-only)
+@demo(
+    "a4b_approx_distinct",
+    # HLL sketches differ across engines, so the *assertion* is exact:
+    # Spark returns the exact count plus a boolean saying its own approx
+    # landed within 2%; the oracle computes the exact count and a literal
+    # TRUE — every column matches bit-for-bit iff the sketch is accurate.
+    "SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp_exact, "
+    "TRUE AS within_2pct FROM lineitem GROUP BY l_returnflag",
+)
 def a4b_approx_distinct(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("n_supp_approx")
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp_exact"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("_approx"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_supp_exact",
+        (
+            F.abs(F.col("_approx") - F.col("n_supp_exact"))
+            / F.col("n_supp_exact")
+            <= 0.02
+        ).alias("within_2pct"),
     )
 
 
@@ -718,8 +736,8 @@ def f4_hash_invariant(spark, sf_dir):
 
 @demo(
     "f5_json_settings",
-    "SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k "
-    "FROM events GROUP BY event_type",
+    "SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) "
+    "AS BIGINT) AS sum_k FROM events GROUP BY event_type",
 )
 def f5_json_settings(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
@@ -1035,10 +1053,10 @@ WITH toks AS (
   FROM toks
 )
 SELECT doc_id,
-       list_aggregate(
+       CAST(list_aggregate(
          [CASE WHEN 2 * len(list_filter(hs, v -> (v >> b) & 1 = 1)) > len(hs)
                THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END
-          for b in range(0, 32)], 'sum') AS simhash
+          for b in range(0, 32)], 'sum') AS BIGINT) AS simhash
 FROM h
 """
 
@@ -1049,6 +1067,48 @@ def dd3_simhash(spark, sf_dir):
 
     docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return simhash(docs, bits=32)
+
+
+_SIMHASH_BANDED_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(regexp_split_to_array(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+  FROM documents WHERE doc_id < 200
+), h AS (
+  SELECT doc_id,
+         list_transform(t, x ->
+           CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
+  FROM toks
+), sig AS (
+  SELECT doc_id,
+         CAST(list_aggregate(
+           [CASE WHEN 2 * len(list_filter(hs, v -> (v >> b) & 1 = 1)) > len(hs)
+                 THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END
+            for b in range(0, 32)], 'sum') AS BIGINT) AS simhash
+  FROM h
+), bands AS (
+  SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bval
+  FROM sig, range(0, 4) t(b)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+                  a.simhash AS sa, c.simhash AS sb
+  FROM bands a JOIN bands c
+    ON a.b = c.b AND a.bval = c.bval AND a.doc_id < c.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+@demo("dd6_simhash_banded", _SIMHASH_BANDED_SQL)
+def dd6_simhash_banded(spark, sf_dir):
+    """Hamming ≤ 3 near-dup search: 4 pigeonhole bands of the 32-bit
+    simhash, equi-join on any matching band, bit_count(xor) verify."""
+    from tartare_spark.operators.dedup_docs import simhash_near_dups_banded
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash_near_dups_banded(docs, bits=32, r=3)
 
 
 _JACCARD_SQL = """
@@ -1064,8 +1124,14 @@ WITH docs AS (
                                   for i in range(1, len(t) - 1)])
               ELSE [norm] END AS shingles
   FROM toks
-), ex AS (
+), ex0 AS (
   SELECT doc_id, unnest(shingles) AS s FROM sh
+), dfq AS (
+  SELECT s, count(*) AS df FROM ex0 GROUP BY s
+), ex AS (
+  -- DF cap: shingles in more than 20 docs are boilerplate; dropping
+  -- them BEFORE the self-join keeps the join from going quadratic
+  SELECT ex0.doc_id, ex0.s FROM ex0 JOIN dfq USING (s) WHERE dfq.df <= 20
 ), sizes AS (
   SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id
 ), inter AS (
@@ -1087,34 +1153,47 @@ def dd4_ngram_jaccard(spark, sf_dir):
     from tartare_spark.operators.dedup_docs import jaccard_pairs
 
     docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
-    return jaccard_pairs(docs, shingle_n=3, threshold=0.02)
+    return jaccard_pairs(docs, shingle_n=3, threshold=0.02, max_df=20)
 
 
-@demo(
-    "dd5_embedding_near_dup",
-    """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(
-             list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-             list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE a.vec_id < 300 AND b.vec_id < 300
-      AND round(list_cosine_similarity(
-            list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-            list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) >= 0.25
-    """,
+def _dd5_oracle_sql(n_planes: int = 4, seed: int = 42) -> str:
+    """Mirror similarity.hyperplane_bucket in DuckDB: same md5-derived
+    hyperplane components, same sign-bit packing, so the bucket ids (and
+    therefore the candidate set) agree bit-for-bit with Spark."""
+
+    def comp(p: int) -> str:
+        return (
+            f"((CAST('0x' || substr(md5('{seed}|{p}|' || CAST(i AS VARCHAR)), 1, 8) "
+            "AS BIGINT) % 2001 - 1000) / 1000.0)"
+        )
+
+    bucket = " + ".join(
+        f"CASE WHEN list_aggregate(list_transform(v, (x, i) -> x * {comp(p)}), "
+        f"'sum') >= 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 300
+), bkt AS (
+  SELECT vec_id, v, {bucket} AS b FROM e
 )
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, c.v), 6) AS cos
+FROM bkt a JOIN bkt c ON a.b = c.b AND a.vec_id < c.vec_id
+WHERE round(list_cosine_similarity(a.v, c.v), 6) >= 0.25
+"""
+
+
+@demo("dd5_embedding_near_dup", _dd5_oracle_sql())
 def dd5_embedding_near_dup(spark, sf_dir):
-    from tartare_spark.operators.similarity import cosine
+    """Sign-LSH-bucketed near-dup: equi-join on the hyperplane bucket,
+    exact cosine within buckets — never the O(n²) all-pairs theta join."""
+    from tartare_spark.operators.similarity import embedding_near_dups
 
     emb = T(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    scored = pairs.select(
-        "id_a", "id_b", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos")
-    )
-    return scored.filter(F.col("cos") >= 0.25)
+    return embedding_near_dups(emb, threshold=0.25, n_planes=4)
 
 
 @demo(

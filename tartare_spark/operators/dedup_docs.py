@@ -168,13 +168,25 @@ def jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs ≥ threshold, computed by
     joining on shared shingles (never materializing non-overlapping
-    pairs). |A∩B| from the join; |A|,|B| from per-doc shingle counts."""
+    pairs). |A∩B| from the join; |A|,|B| from per-doc shingle counts.
+
+    ``max_df`` guards the self-join against ubiquitous shingles (e.g. a
+    license-header line shared by every file): any shingle appearing in
+    more than ``max_df`` documents is dropped from the shingle space
+    BEFORE the join — without it one high-document-frequency shingle
+    makes the join quadratic in corpus size. Jaccard is then computed
+    over the filtered shingle space (both intersection and sizes), which
+    also improves precision by ignoring boilerplate."""
     sh = docs.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
     )
+    if max_df is not None:
+        dfreq = sh.groupBy("s").agg(F.count("*").alias("_df"))
+        sh = sh.join(dfreq.filter(F.col("_df") <= max_df).select("s"), "s")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -226,9 +238,73 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
     return counts.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_near_dups_banded(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    r: int = 3,
+) -> DataFrame:
+    """Near-dup pairs at Hamming distance ≤ r via pigeonhole banding:
+    the ``bits``-bit signature is split into r+1 disjoint bands, so any
+    pair within distance r agrees EXACTLY on at least one band.
+    Candidates are the equi-self-join on (band, band_value) — the same
+    bucketed join shape as MinHash LSH, never all-pairs — then verified
+    with ``bit_count(sig_a XOR sig_b) <= r`` (codegen'd long math).
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, distinct."""
+    n_bands = r + 1
+    base, rem = divmod(bits, n_bands)
+    widths = [base + 1] * rem + [base] * (n_bands - rem)
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
+
+    s = simhash(docs, id_col, text_col, bits)
+    bands = s.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), offsets[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1).cast("long"))
+                        .alias("bval"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(F.col(id_col), F.col("simhash"), F.col("bb.band"), F.col("bb.bval"))
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.bval") == F.col("c.bval"))
+            & (F.col(f"a.{id_col}") < F.col(f"c.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"c.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("c.simhash").alias("_sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= r)
+    )
+
+
 def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
-    """Near-dup pairs with IDENTICAL simhash (Hamming 0 fast path);
-    banded Hamming ≤ r search follows the same join shape as LSH."""
+    """Near-dup pairs with IDENTICAL simhash (Hamming 0 fast path); use
+    :func:`simhash_near_dups_banded` for the Hamming ≤ r search."""
     s = simhash(docs, id_col, text_col, bits)
     a, b = s.alias("a"), s.alias("b")
     return (

@@ -80,6 +80,36 @@ def hyperplane_bucket(vec_col, n_planes: int = 8, dim: int | None = None, seed: 
     return sig
 
 
+def embedding_near_dups(
+    vectors: DataFrame,
+    threshold: float = 0.25,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH bucketing:
+    both sides hashed with :func:`hyperplane_bucket`, candidates are the
+    EQUI-join on the bucket id (never the O(n²) all-pairs theta join),
+    exact cosine verified within buckets.
+
+    Scale shape: the bucket column partitions the self-join into 2^H
+    disjoint groups, so the shuffle is one hash-partition by bucket and
+    work is sum of per-bucket squares (~n²/2^H for balanced buckets) —
+    tunable by ``n_planes``. Recall is the standard sign-LSH trade-off:
+    a pair at cosine θ collides with probability (1 - acos(θ)/π)^H;
+    run multiple hash tables (seeds) and union for higher recall."""
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col), n_planes).alias("_b")
+    )
+    a = v.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("ea"), "_b")
+    b = v.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("eb"), "_b")
+    pairs = a.join(b, "_b").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos")
+    )
+    return scored.filter(F.col("cos") >= threshold)
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,

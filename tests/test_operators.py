@@ -197,3 +197,51 @@ def test_dedup_window_equals_maxby(spark):
     a = dedup_latest_lsn(ev, keys=["user_id"], order_col="event_id")
     b = dedup_latest_window(ev, keys=["user_id"], order_col="event_id")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_simhash_banded_finds_planted_near_dup(spark):
+    """A pair differing by one rare token has Hamming distance in (0, r]:
+    the Hamming-0 fast path misses it, the banded search must find it."""
+    from tartare_spark.operators.dedup_docs import (
+        simhash_near_dups,
+        simhash_near_dups_banded,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(400))
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("tok7", "tok7x")),  # near-dup: 1 token changed
+            (3, " ".join(f"other{i}" for i in range(400))),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    exact = {(r["id_a"], r["id_b"]) for r in simhash_near_dups(docs).collect()}
+    banded = simhash_near_dups_banded(docs, bits=32, r=3)
+    found = {(r["id_a"], r["id_b"]): r["hamming"] for r in banded.collect()}
+    assert (1, 2) in found, f"banded search missed the planted pair: {found}"
+    assert 0 < found[(1, 2)] <= 3
+    assert (1, 2) not in exact  # Hamming-0 path misses it by construction
+    assert (1, 3) not in found and (2, 3) not in found
+
+
+def test_jaccard_df_cap_bounds_candidates(spark):
+    """A shingle present in EVERY doc makes the unguarded self-join
+    quadratic; with max_df the candidate pair count stays bounded."""
+    from tartare_spark.operators.dedup_docs import jaccard_pairs
+
+    n = 40
+    boiler = "license header apache two point zero"
+    rows = [(i, f"{boiler} unique{i}a unique{i}b unique{i}c unique{i}d") for i in range(n)]
+    # two genuine near-dups sharing their non-boilerplate shingles
+    rows.append((100, "alpha beta gamma delta epsilon zeta eta"))
+    rows.append((101, "alpha beta gamma delta epsilon zeta theta"))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    unguarded = jaccard_pairs(docs, shingle_n=3, threshold=0.01)
+    assert unguarded.count() >= n * (n - 1) // 2  # boilerplate blowup
+
+    capped = jaccard_pairs(docs, shingle_n=3, threshold=0.01, max_df=5)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (100, 101) in pairs  # real near-dups survive the cap
+    assert len(pairs) < n  # boilerplate-only pairs are gone
