@@ -99,6 +99,57 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    # ---- T5 stateful fence under at-least-once redelivery -------------
+    # Replays a redelivery-heavy tail (every file delivered twice, the
+    # second copy in later micro-batches) with and without the
+    # applyInPandasWithState applied-LSN fence: final lake state must be
+    # IDENTICAL (the MERGE is idempotent either way); the fence's win is
+    # apply-volume reduction, reported as fence_volume_ratio.
+    work2 = tempfile.mkdtemp(prefix="tartare_fence_")
+    try:
+        import glob
+
+        spec2 = FixtureSpec(n_repos=200, paths_per_repo=100, n_events=120_000)
+        ev2 = os.path.join(work2, "events")
+        write_events_parquet_fast(ev2, spec2, events_per_file=120_000 // 8)
+        for p in sorted(glob.glob(os.path.join(ev2, "*.parquet"))):
+            shutil.copy(p, p.replace(".parquet", "-redeliver.parquet"))
+
+        def _replay(tag: str, fence: bool):
+            lk = LakeTable.create(os.path.join(work2, f"lake_{tag}"), num_buckets=32)
+            t0 = time.time()
+            run_stream(
+                spark,
+                ev2,
+                lk,
+                os.path.join(work2, f"ckpt_{tag}"),
+                max_files_per_trigger=4,
+                stateful_fence=fence,
+            )
+            dt = time.time() - t0
+            applied_rows = sum(m.get("rows") or 0 for m in lk.metrics())
+            return lk, dt, applied_rows
+
+        lake_plain, dt_plain, rows_plain = _replay("plain", False)
+        lake_fence, dt_fence, rows_fence = _replay("fence", True)
+        queries["cdc_stateful_fence_replay"] = round(dt_fence, 3)
+        sp = lake_plain.snapshot(spark)
+        sf_ = lake_fence.snapshot(spark)
+        fence_state_equal = (
+            sp.exceptAll(sf_).count() == 0 and sf_.exceptAll(sp).count() == 0
+        )
+        fence_volume_ratio = (
+            round(rows_fence / rows_plain, 4) if rows_plain else None
+        )
+        if not fence_state_equal:
+            print(
+                json.dumps({"error": "stateful fence changed final state"}),
+                file=sys.stderr,
+            )
+            sys.exit(2)
+    finally:
+        shutil.rmtree(work2, ignore_errors=True)
+
     # ---- operator headliners on the sf dir ----------------------------
     for name in HEADLINE_QUERIES:
         t0 = time.time()
@@ -119,6 +170,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cdc_events_per_sec": events_per_sec,
                 "cdc_events": n_written,
+                "fence_state_equal": fence_state_equal,
+                "fence_volume_ratio": fence_volume_ratio,
                 "cpus": int(CPUS),
             }
         )

@@ -6,10 +6,13 @@ no shared state) at several process counts. The per-level efficiency it
 prints is the hardware ceiling for ANY engine measurement at that
 parallelism — a Spark job cannot scale better than the metal under it.
 
-Used to pick the N-vs-4N pair for scripts/scaling_bench.py: on this
-sandbox's 32-vCPU VM, 2→8 processes sustain ~95% efficiency while 8→32
-tops out ~70% (hypervisor/frequency ceiling), so the engine's scaling
-evidence is run at local[2] vs local[8]. Prints one JSON line.
+Used to pick the N-vs-4N pair for scripts/scaling_bench.py
+(SCALING_LEVELS there): on this sandbox's 32-vCPU VM, low process
+counts sustain ~94-95% efficiency while 8→32 tops out ~70%
+(hypervisor/frequency + memory-bus ceiling), so the engine's published
+scaling evidence (BENCH/scaling_local1.jsonl / scaling_local4.jsonl,
+summarized in BENCH/BASELINE.md) is run at local[1] vs local[4].
+Prints one JSON line.
 """
 
 from __future__ import annotations

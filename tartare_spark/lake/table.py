@@ -232,13 +232,8 @@ class LakeTable:
         folded; no data scan)."""
         b = (
             spark.range(1)
-            .select(
-                F.pmod(
-                    F.xxhash64(F.lit(repo), F.lit(path)), F.lit(self.num_buckets)
-                )
-                .cast("int")
-                .alias("b")
-            )
+            .select(F.lit(repo).alias("repo"), F.lit(path).alias("path"))
+            .select(bucket_expr(self.num_buckets).alias("b"))
             .collect()[0]["b"]
         )
         return (
@@ -375,8 +370,19 @@ class LakeTable:
                 ti = sch.get_field_index("_ts")
                 for g in range(md.num_row_groups):
                     st = md.row_group(g).column(ci).statistics
+                    if st is None or st.max is None:
+                        # footer stats disabled on this file — the commit
+                        # protocol depends on them; fail loudly rather
+                        # than publish a wrong watermark.
+                        raise RuntimeError(
+                            f"parquet file {p} has no _lsn column statistics; "
+                            "the delta commit requires footer stats "
+                            "(check parquet writer settings)"
+                        )
                     mx = int(st.max)
-                    if mx > bucket_lsn_updates.get(b, 0):
+                    # seed with the first observed value (no sentinel):
+                    # correct even for non-positive LSN domains.
+                    if b not in bucket_lsn_updates or mx > bucket_lsn_updates[b]:
                         bucket_lsn_updates[b] = mx
                     tst = md.row_group(g).column(ti).statistics
                     if tst is not None and tst.max is not None:

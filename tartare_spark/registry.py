@@ -65,21 +65,19 @@ class SchemaRegistry:
     # -- as-of version tagging (J5) -------------------------------------
     def tag_versions(self, spark: SparkSession, events: DataFrame) -> DataFrame:
         """Attach ``_schema_version`` = registry version effective at each
-        event's lsn. Broadcast as-of join: the registry is tiny, so this
-        is a broadcast theta-join + max aggregation — no shuffle of the
-        event side beyond the groupBy that callers already perform."""
-        reg = spark.createDataFrame(
-            [(int(r["version"]), int(r["effective_lsn"])) for r in self.rows],
-            "version INT, effective_lsn BIGINT",
+        event's lsn. The registry is tiny and driver-resident, so the
+        as-of lookup constant-folds into a chained CASE expression over
+        ``lsn`` — a pure codegen'd projection: no join, no shuffle, and
+        (unlike a groupBy-all-columns recovery) hot-path-safe on events
+        carrying wide content columns. For genuinely big-big as-of joins
+        use operators/asof.py."""
+        pairs = sorted(
+            (int(r["effective_lsn"]), int(r["version"])) for r in self.rows
         )
-        joined = events.join(
-            F.broadcast(reg), F.col("effective_lsn") <= F.col("lsn"), "left"
-        )
-        keys = [c for c in events.columns]
-        return (
-            joined.groupBy(*keys)
-            .agg(F.coalesce(F.max("version"), F.lit(1)).alias("_schema_version"))
-        )
+        expr = F.lit(1)
+        for eff, ver in pairs:
+            expr = F.when(F.col("lsn") >= F.lit(eff), F.lit(ver)).otherwise(expr)
+        return events.withColumn("_schema_version", expr.cast("int"))
 
     def current_version(self, watermark: int) -> int:
         return self.version_at(watermark)

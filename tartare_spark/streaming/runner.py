@@ -17,8 +17,11 @@ files (never a published manifest), which vacuum() reclaims.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.streaming.listener import StreamingQueryListener
 
 from tartare_spark.lake.schema import CHANGE_EVENT_SCHEMA
 from tartare_spark.lake.table import LakeTable
@@ -76,23 +79,67 @@ def run_stream(
         writer = writer.trigger(availableNow=True)
     else:
         writer = writer.trigger(processingTime="1 second")
+    # T7 (listener variant): persist Spark's own per-batch progress
+    # (input rate, duration breakdown, source offsets) next to the
+    # engine's metrics log — the two views cross-check each other.
+    # A listener (not recentProgress, which Spark caps at the last
+    # ~numRecentProgressUpdates≈100 batches) so long replays keep
+    # EVERY batch's progress record.
+    listener = _ProgressLogger(os.path.join(lake.root, "_metrics", "progress.jsonl"))
+    spark.streams.addListener(listener)
     query = writer.start()
     if await_termination:
-        query.awaitTermination()
-        # T7 (listener variant): persist Spark's own per-batch progress
-        # (input rate, duration breakdown, source offsets) next to the
-        # engine's metrics log — the two views cross-check each other.
-        dump_progress(query, lake)
+        try:
+            query.awaitTermination()
+        finally:
+            spark.streams.removeListener(listener)
+            # listener delivery is async — reconcile any progress events
+            # still in recentProgress that the listener hasn't flushed.
+            dump_progress(query, lake, seen=listener.seen)
     return query
 
 
-def dump_progress(query, lake: LakeTable) -> int:
-    """Append the query's ``recentProgress`` JSON to the lake's metrics
-    dir (progress.jsonl). Returns the number of records written."""
-    import json
-    import os
+class _ProgressLogger(StreamingQueryListener):
+    """StreamingQueryListener that appends each progress event as it
+    arrives (no recentProgress cap). Tracks (queryId, batchId) pairs so
+    the post-run reconcile never double-writes."""
 
-    recs = query.recentProgress or []
+    def __init__(self, path: str):
+        super().__init__()
+        self.path = path
+        self.seen: set[tuple[str, int]] = set()
+
+    def onQueryStarted(self, event):
+        pass
+
+    def onQueryProgress(self, event):
+        p = event.progress
+        with open(self.path, "a") as f:
+            f.write(p.json + "\n")
+        self.seen.add((str(p.id), int(p.batchId)))
+
+    def onQueryIdle(self, event):
+        pass
+
+    def onQueryTerminated(self, event):
+        pass
+
+
+def dump_progress(query, lake: LakeTable, seen: set | None = None) -> int:
+    """Append the query's ``recentProgress`` JSON to the lake's metrics
+    dir (progress.jsonl), skipping (queryId, batchId) pairs already
+    written by the live listener. Returns the number of records
+    written. Note recentProgress alone is capped at the last
+    ~spark.sql.streaming.numRecentProgressUpdates (default 100) batches
+    — the listener is the complete record."""
+    import json
+
+    seen = seen or set()
+    recs = [
+        p
+        for p in (query.recentProgress or [])
+        if (str(p.get("id")), int(p.get("batchId"))) not in seen
+    ]
     path = os.path.join(lake.root, "_metrics", "progress.jsonl")
     with open(path, "a") as f:
         for p in recs:
