@@ -65,10 +65,10 @@ def main():
             ok += 1
             continue
         try:
-            res = con.execute(ORACLE[name])
-            d_cols = [d[0] for d in res.description]
-            d_types = [str(d[1]) for d in res.description]
-            d_rows = res.fetchall()
+            rel = con.sql(ORACLE[name])
+            d_cols = list(rel.columns)
+            d_types = [str(t) for t in rel.types]
+            d_rows = rel.fetchall()
         except Exception as e:
             print(f"FAIL  {name}: DUCKDB ERROR {str(e)[:200]}")
             bad += 1
@@ -80,11 +80,11 @@ def main():
         exotic = [
             (c, t)
             for c, t in zip(d_cols, d_types)
-            if "HUGEINT" in t.upper()
+            if any(k in t.upper() for k in ("HUGEINT", "DECIMAL"))
         ]
         if exotic:
             print(f"FAIL  {name}: oracle returns driver-hash-unsafe types {exotic}"
-                  " — CAST to BIGINT in the oracle SQL")
+                  " — CAST to BIGINT/DOUBLE in the oracle SQL")
             bad += 1
             continue
         sc, sr = norm_rows(s_cols, s_rows)

@@ -1370,7 +1370,7 @@ def tx2_vocab_topk(spark, sf_dir):
     SELECT count(*) AS n_docs,
            count(DISTINCT fp) AS n_unique,
            round(1.0 - count(DISTINCT fp) / count(*), 6) AS dup_rate,
-           sum(n_tok) AS total_tokens,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
            round(avg(q), 4) AS mean_quality,
            round(min(q), 4) AS min_quality
     FROM base
@@ -1386,3 +1386,34 @@ def tx3_corpus_quality_report(spark, sf_dir):
         F.round("mean_quality", 4).alias("mean_quality"),
         F.round("min_quality", 4).alias("min_quality"),
     )
+
+
+@demo(
+    "tx4_rolling_fingerprint",
+    # mirror operators/text.rolling_fingerprint: fold h*131 + md5_32(tok)
+    # mod 2^31-1 over the token stream (list_reduce with a prepended 0
+    # init == Spark's aggregate with a 0 init; all values < 2^39 so the
+    # arithmetic is exact signed-64 in both engines)
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(t, x ->
+                 CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % 2147483647) AS roll_fp
+    FROM toks
+    """,
+)
+def tx4_rolling_fingerprint(spark, sf_dir):
+    """Order-sensitive polynomial rolling-hash fingerprint per document
+    (distinguishes permuted near-identical docs; the chunk/window variant
+    rolls the same recurrence). Zero shuffle, zero Python."""
+    from tartare_spark.operators.text import rolling_fingerprint
+
+    docs = T(spark, sf_dir, "documents")
+    return docs.select("doc_id", rolling_fingerprint(F.col("text")).alias("roll_fp"))

@@ -83,10 +83,36 @@ def lang_id(col: Column) -> Column:
 
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized lowercase
-    text — the exact-dedup key. (A rolling/poly hash variant lives in
-    dedup_docs.minhash_terms for near-dup work.)"""
+    text — the exact-dedup key. See :func:`rolling_fingerprint` for the
+    order-sensitive polynomial variant."""
     norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
     return F.md5(norm)
+
+
+# Rolling-hash constants, pinned for cross-engine parity: with
+# mod = 2^31-1 (prime) the accumulator stays < 2^31, so
+# acc*base + token_hash < 2^38 + 2^32 — exact in signed-64 arithmetic
+# in BOTH Spark and DuckDB (list_reduce with a prepended 0 init).
+ROLL_BASE = 131
+ROLL_MOD = 2_147_483_647
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over the token stream, h = fold(h*B + md5_32(token) mod M). Unlike
+    the md5 bag fingerprint this distinguishes permuted documents, and
+    it extends to windowed/chunk fingerprints by the classic rolling
+    update. Pure higher-order fold — codegen'd long math, zero Python,
+    zero shuffle."""
+    toks = tokens(F.lower(col))
+    hs = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    return F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * ROLL_BASE + h) % ROLL_MOD,
+    )
 
 
 @pandas_udf("string")

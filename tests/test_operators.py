@@ -245,3 +245,21 @@ def test_jaccard_df_cap_bounds_candidates(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert (100, 101) in pairs  # real near-dups survive the cap
     assert len(pairs) < n  # boilerplate-only pairs are gone
+
+
+def test_rolling_fingerprint_order_sensitive(spark):
+    """The polynomial fingerprint distinguishes permuted documents (the
+    md5 bag fingerprint cannot) and is deterministic."""
+    from tartare_spark.operators.text import rolling_fingerprint
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        "doc_id LONG, text STRING",
+    )
+    fp = {
+        r["doc_id"]: r["fp"]
+        for r in docs.select("doc_id", rolling_fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    assert fp[1] == fp[3]
+    assert fp[1] != fp[2]
+    assert all(0 <= v < 2_147_483_647 for v in fp.values())
