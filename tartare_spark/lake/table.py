@@ -331,6 +331,7 @@ class LakeTable:
         batch_id: int,
         schema_version_fn=None,
         extra_stats: dict | None = None,
+        pre_partitioned: bool = False,
     ) -> dict | None:
         """Single-job MOR commit: write ``staged_phys`` (deduped physical
         rows carrying ``_bucket``) as per-bucket delta files, then recover
@@ -354,6 +355,7 @@ class LakeTable:
             staged_phys,
             f"delta-{batch_id}-{uuid.uuid4().hex[:8]}",
             self.num_buckets,
+            pre_partitioned=pre_partitioned,
         )
         if not new_files:
             return {"keys": 0, "touched_buckets": [], "max_lsn": None}
@@ -456,14 +458,20 @@ class LakeTable:
 
     # -- shared write/commit plumbing ----------------------------------
     def _write_data_files(
-        self, df: DataFrame, dirname: str, n_partitions: int
+        self, df: DataFrame, dirname: str, n_partitions: int,
+        pre_partitioned: bool = False,
     ) -> dict[int, list[str]]:
         """One shuffle: co-locate each bucket into one task → one file
-        per bucket (maxRecordsPerFile splits huge buckets)."""
+        per bucket (maxRecordsPerFile splits huge buckets). When the
+        caller already hash-partitioned ``df`` by ``_bucket``
+        (``pre_partitioned=True``), no exchange is issued at all —
+        bucket co-location is inherited from the upstream stage."""
         out_dir = os.path.join(self.root, "data", dirname)
+        part = df if pre_partitioned else df.repartition(
+            max(n_partitions, 1), "_bucket"
+        )
         (
-            df.repartition(max(n_partitions, 1), "_bucket")
-            .write.option("maxRecordsPerFile", 2_000_000)
+            part.write.option("maxRecordsPerFile", 2_000_000)
             .partitionBy("_bucket")
             .parquet(out_dir)
         )

@@ -66,17 +66,25 @@ def apply_batch(
         return rec
 
     ev = events.select(*EVENT_COLS)
-    staged = dedup_latest_lsn(ev, keys=["repo", "path"], order_col="lsn")
-    staged = staged.withColumn("_bucket", bucket_expr(lake.num_buckets))
 
     compacted = 0
     schema_fn = registry.current_version if registry else None
     if lake.mode == "mor":
-        # merge-on-read: ONE Spark job per batch — scan → dedup shuffle →
-        # bucket-aligned delta write. Touched buckets + per-bucket
-        # applied-LSN watermarks are recovered from the parquet footers
-        # of the files just written (driver-side, ≤num_buckets files),
-        # so no second pass over the data and nothing to persist.
+        # merge-on-read: ONE Spark job AND ONE shuffle per batch. The
+        # bucket co-location exchange the delta write needs is issued
+        # FIRST; the dedup then groups by (_bucket, repo, path), and
+        # HashPartitioning([_bucket]) already satisfies that clustered
+        # distribution, so the aggregate runs exchange-free and the
+        # write inherits the per-bucket layout (asserted by
+        # tests/test_replay_batch.py::test_mor_apply_plan_has_single_shuffle).
+        # Touched buckets + per-bucket applied-LSN watermarks are
+        # recovered from the parquet footers of the files just written
+        # (driver-side, ≤num_buckets files) — no second pass, no collect.
+        ev_b = ev.withColumn("_bucket", bucket_expr(lake.num_buckets))
+        part = ev_b.repartition(max(lake.num_buckets, 1), "_bucket")
+        staged = dedup_latest_lsn(
+            part, keys=["_bucket", "repo", "path"], order_col="lsn"
+        )
         phys = staged.select(
             "repo",
             "path",
@@ -89,7 +97,10 @@ def apply_batch(
             F.col("ts").alias("_ts"),
             "_bucket",
         )
-        res = lake.append_delta(phys, batch_id=batch_id, schema_version_fn=schema_fn)
+        res = lake.append_delta(
+            phys, batch_id=batch_id, schema_version_fn=schema_fn,
+            pre_partitioned=True,
+        )
         committed = res is not None and res["keys"] > 0
         n_keys = res["keys"] if res else 0
         touched = res["touched_buckets"] if res else []
@@ -110,6 +121,8 @@ def apply_batch(
         # target (partition pruning), so staged feeds two jobs: a small
         # bucket-stats collect (≤num_buckets rows — scale-independent),
         # then the MERGE rewrite. persist() runs the dedup shuffle once.
+        staged = dedup_latest_lsn(ev, keys=["repo", "path"], order_col="lsn")
+        staged = staged.withColumn("_bucket", bucket_expr(lake.num_buckets))
         staged = staged.persist()
         try:
             bstats = (

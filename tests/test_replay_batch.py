@@ -177,3 +177,33 @@ def test_vacuum_keeps_referenced(spark, unit_events, tmp_path):
     before = lake.snapshot(spark).count()
     lake.vacuum()  # nothing unreferenced should disappear
     assert lake.snapshot(spark).count() == before
+
+
+def test_mor_apply_plan_has_single_shuffle(spark, unit_events):
+    """The MOR staging pipeline (bucket repartition → keyed dedup →
+    physical projection) must plan exactly ONE Exchange: the dedup
+    aggregate runs on the bucket partitioning without a second shuffle,
+    and the delta writer (pre_partitioned=True) adds none."""
+    import io
+    from contextlib import redirect_stdout
+
+    from tartare_spark.lake.table import bucket_expr
+    from tartare_spark.operators.apply import EVENT_COLS
+    from tartare_spark.operators.dedup import dedup_latest_lsn
+
+    ev = unit_events.select(*EVENT_COLS).withColumn("_bucket", bucket_expr(16))
+    part = ev.repartition(16, "_bucket")
+    staged = dedup_latest_lsn(part, keys=["_bucket", "repo", "path"], order_col="lsn")
+    phys = staged.select(
+        "repo", "path", "commit", "lang", "content",
+        F.col("lsn").alias("_lsn"),
+        (F.col("op") == "delete").alias("_deleted"),
+        F.sha2(F.coalesce("content", F.lit("")), 256).alias("_content_sha"),
+        F.col("ts").alias("_ts"),
+        "_bucket",
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        phys.explain()
+    plan = buf.getvalue()
+    assert plan.count("Exchange") == 1, plan
