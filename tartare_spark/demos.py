@@ -1156,10 +1156,10 @@ def dd4_ngram_jaccard(spark, sf_dir):
     return jaccard_pairs(docs, shingle_n=3, threshold=0.02, max_df=20)
 
 
-def _dd5_oracle_sql(n_planes: int = 4, seed: int = 42) -> str:
+def _hp_bucket_sql(col: str, n_planes: int = 4, seed: int = 42) -> str:
     """Mirror similarity.hyperplane_bucket in DuckDB: same md5-derived
     hyperplane components, same sign-bit packing, so the bucket ids (and
-    therefore the candidate set) agree bit-for-bit with Spark."""
+    therefore the candidate sets) agree bit-for-bit with Spark."""
 
     def comp(p: int) -> str:
         return (
@@ -1167,11 +1167,15 @@ def _dd5_oracle_sql(n_planes: int = 4, seed: int = 42) -> str:
             "AS BIGINT) % 2001 - 1000) / 1000.0)"
         )
 
-    bucket = " + ".join(
-        f"CASE WHEN list_aggregate(list_transform(v, (x, i) -> x * {comp(p)}), "
+    return " + ".join(
+        f"CASE WHEN list_aggregate(list_transform({col}, (x, i) -> x * {comp(p)}), "
         f"'sum') >= 0 THEN CAST({1 << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
         for p in range(n_planes)
     )
+
+
+def _dd5_oracle_sql(n_planes: int = 4, seed: int = 42) -> str:
+    bucket = _hp_bucket_sql("v", n_planes, seed)
     return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1222,7 +1226,28 @@ def sim1_ann_bruteforce(spark, sf_dir):
     return brute_force_topk(vectors, queries, k=5)
 
 
-@demo("sim2_ann_lsh_bucketed")  # rows-only: hyperplane LSH not SQL-expressible tersely
+def _sim2_oracle_sql() -> str:
+    bucket = _hp_bucket_sql("v", n_planes=4)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), vx AS (
+  SELECT vec_id, v, {bucket} AS b FROM e WHERE vec_id >= 5
+), qx AS (
+  SELECT vec_id AS q_id, v AS qv, {bucket} AS b FROM e WHERE vec_id < 5
+), scored AS (
+  SELECT qx.q_id, vx.vec_id,
+         round(list_cosine_similarity(vx.v, qx.qv), 6) AS cos
+  FROM vx JOIN qx ON vx.b = qx.b
+)
+SELECT q_id, vec_id, cos, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+  FROM scored) WHERE rk <= 5
+"""
+
+
+@demo("sim2_ann_lsh_bucketed", _sim2_oracle_sql())
 def sim2_ann_lsh_bucketed(spark, sf_dir):
     from tartare_spark.operators.similarity import lsh_bucketed_topk
 
@@ -1254,7 +1279,43 @@ def mm1_blob_metadata(spark, sf_dir):
     )
 
 
-@demo("sim3_ann_ivf")  # rows-only: IVF cell assignment not SQL-tersely-expressible
+_SIM3_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), vecs AS (
+  SELECT * FROM e WHERE vec_id >= 5
+), qs AS (
+  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5
+), cents AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS cell, v AS cv
+  FROM (SELECT * FROM vecs ORDER BY vec_id ASC LIMIT 16)
+), vassign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vecs.vec_id, vecs.v, cents.cell,
+           row_number() OVER (PARTITION BY vecs.vec_id
+             ORDER BY round(list_cosine_similarity(vecs.v, cents.cv), 6) DESC,
+                      cents.cell ASC) AS r
+    FROM vecs, cents) WHERE r <= 1
+), qassign AS (
+  SELECT q_id, qv, cell FROM (
+    SELECT qs.q_id, qs.qv, cents.cell,
+           row_number() OVER (PARTITION BY qs.q_id
+             ORDER BY round(list_cosine_similarity(qs.qv, cents.cv), 6) DESC,
+                      cents.cell ASC) AS r
+    FROM qs, cents) WHERE r <= 4
+), scored AS (
+  SELECT q.q_id, v.vec_id,
+         round(list_cosine_similarity(v.v, q.qv), 6) AS cos
+  FROM vassign v JOIN qassign q ON v.cell = q.cell
+)
+SELECT q_id, vec_id, cos, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
+  FROM scored) WHERE rk <= 5
+"""
+
+
+@demo("sim3_ann_ivf", _SIM3_SQL)
 def sim3_ann_ivf(spark, sf_dir):
     """IVF inverted-file ANN — the partition-pruned scale path named in
     the task brief (centroid assign -> probe n closest cells)."""
@@ -1285,7 +1346,24 @@ def mm2_resize_blob(spark, sf_dir):
     )
 
 
-@demo("mm3_feature_extract")  # rows-only: byte-histogram embedding not SQL-tersely-expressible
+_MM3_SQL = """
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx FROM documents
+), n AS (
+  SELECT doc_id, len(hx) // 2 AS nb,
+         [substr(hx, i, 1) for i in range(1, len(hx) + 1, 2)] AS nibs
+  FROM h
+)
+SELECT doc_id,
+       CASE WHEN nb = 0 THEN [CAST(0.0 AS FLOAT) for b in range(0, 16)]
+            ELSE [CAST(len(list_filter(nibs, x -> x = hex(b))) / nb AS FLOAT)
+                  for b in range(0, 16)]
+       END AS features
+FROM n
+"""
+
+
+@demo("mm3_feature_extract", _MM3_SQL)
 def mm3_feature_extract(spark, sf_dir):
     """Multimodal feature extraction (deterministic fake: L1-normalized
     byte histogram as array<float> — the CNN-embedding batch contract)."""

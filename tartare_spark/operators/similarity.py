@@ -143,10 +143,13 @@ def ivf_topk(
     )
 
     def assign(df, vcol, out, keep, top):
+        # assignment similarity is rounded to 6dp before ranking (ties
+        # broken by cell id) so the cell assignment is reproducible
+        # bit-for-bit across engines — float ulps can't flip a cell.
         scored = df.crossJoin(F.broadcast(centroids)).select(
             *keep,
             F.col("cell"),
-            cosine(F.col(vcol), F.col("c_vec")).alias("_cs"),
+            F.round(cosine(F.col(vcol), F.col("c_vec")), 6).alias("_cs"),
         )
         ww = Window.partitionBy(*keep).orderBy(F.desc("_cs"), F.asc("cell"))
         return (
