@@ -109,9 +109,9 @@ def main() -> None:
     try:
         import glob
 
-        spec2 = FixtureSpec(n_repos=200, paths_per_repo=100, n_events=120_000)
+        spec2 = FixtureSpec(n_repos=200, paths_per_repo=100, n_events=60_000)
         ev2 = os.path.join(work2, "events")
-        write_events_parquet_fast(ev2, spec2, events_per_file=120_000 // 8)
+        write_events_parquet_fast(ev2, spec2, events_per_file=60_000 // 8)
         for p in sorted(glob.glob(os.path.join(ev2, "*.parquet"))):
             shutil.copy(p, p.replace(".parquet", "-redeliver.parquet"))
 
@@ -123,7 +123,7 @@ def main() -> None:
                 ev2,
                 lk,
                 os.path.join(work2, f"ckpt_{tag}"),
-                max_files_per_trigger=4,
+                max_files_per_trigger=8,
                 stateful_fence=fence,
             )
             dt = time.time() - t0

@@ -1,0 +1,183 @@
+"""Operational CLI — the engine's user-facing entry point.
+
+The reference exposes its pipeline operationally (HTTP + scheduled
+jobs); the Spark-native analog is a spark-submit-able CLI over the same
+library API the tests drive:
+
+    python -m tartare_spark replay   --events DIR --lake DIR --checkpoint DIR
+    python -m tartare_spark snapshot --lake DIR [--version N] [--limit N] [--out DIR]
+    python -m tartare_spark lookup   --lake DIR --repo R --path P
+    python -m tartare_spark compact  --lake DIR [--buckets 0,3,7]
+    python -m tartare_spark vacuum   --lake DIR
+    python -m tartare_spark metrics  --lake DIR [--tail N]
+
+On a cluster: ``spark-submit --py-files engine.zip -m`` equivalent —
+every subcommand builds its session via :func:`tartare_spark.session.
+get_spark`, which inherits spark-submit configuration when present.
+Exit code 0 on success; errors print one line to stderr and exit 1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(args):
+    from tartare_spark.session import get_spark
+
+    return get_spark(master=args.master, app_name=f"tartare-{args.cmd}")
+
+
+def _lake(args):
+    from tartare_spark.lake.table import LakeTable
+
+    return LakeTable(args.lake)
+
+
+def cmd_replay(args) -> int:
+    from tartare_spark.lake.table import LakeTable
+    from tartare_spark.registry import SchemaRegistry
+    from tartare_spark.streaming.runner import run_stream
+
+    spark = _spark(args)
+    import os
+
+    if args.create and not os.path.exists(os.path.join(args.lake, "_table.json")):
+        lake = LakeTable.create(args.lake, num_buckets=args.buckets, mode=args.mode)
+    else:
+        lake = LakeTable(args.lake)
+    registry = None
+    if args.registry:
+        with open(args.registry) as f:
+            registry = SchemaRegistry(json.load(f))
+    run_stream(
+        spark,
+        args.events,
+        lake,
+        args.checkpoint,
+        registry=registry,
+        max_files_per_trigger=args.max_files_per_trigger,
+        stateful_fence=args.fence,
+        drop_dup_within_watermark=args.watermark_dedup,
+    )
+    m = [x for x in lake.metrics() if not x.get("skipped")]
+    applied = sum(x.get("rows") or 0 for x in m)
+    print(
+        json.dumps(
+            {
+                "lake_version": lake.current_version(),
+                "batches_applied": len(m),
+                "rows_applied": applied,
+            }
+        )
+    )
+    return 0
+
+
+def cmd_snapshot(args) -> int:
+    spark = _spark(args)
+    lake = _lake(args)
+    df = lake.snapshot(spark, version=args.version)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"rows": df.count(), "out": args.out}))
+    else:
+        for r in df.limit(args.limit).collect():
+            print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
+def cmd_lookup(args) -> int:
+    spark = _spark(args)
+    lake = _lake(args)
+    rows = lake.lookup(spark, args.repo, args.path).collect()
+    for r in rows:
+        print(json.dumps(r.asDict(), default=str))
+    return 0 if rows else 3  # grep-style: 3 = key absent
+
+
+def cmd_compact(args) -> int:
+    spark = _spark(args)
+    lake = _lake(args)
+    buckets = (
+        [int(b) for b in args.buckets.split(",")] if args.buckets else None
+    )
+    n = lake.compact(spark, buckets=buckets)
+    print(json.dumps({"compacted_buckets": n, "lake_version": lake.current_version()}))
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    lake = _lake(args)
+    n = lake.vacuum()
+    print(json.dumps({"orphan_files_removed": n}))
+    return 0
+
+
+def cmd_metrics(args) -> int:
+    lake = _lake(args)
+    for rec in lake.metrics()[-args.tail:]:
+        print(json.dumps(rec))
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tartare_spark", description=__doc__)
+    p.add_argument("--master", default=None, help="Spark master (default: local[$SPARK_GRAFT_CPUS])")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("replay", help="tail a change-event dir into a lake table")
+    r.add_argument("--events", required=True)
+    r.add_argument("--lake", required=True)
+    r.add_argument("--checkpoint", required=True)
+    r.add_argument("--registry", help="JSON file of schema-registry rows")
+    r.add_argument("--create", action="store_true", help="create the lake if absent")
+    r.add_argument("--buckets", type=int, default=64)
+    r.add_argument("--mode", choices=["mor", "cow"], default="mor")
+    r.add_argument("--max-files-per-trigger", type=int, default=16)
+    r.add_argument("--fence", action="store_true", help="stateful applied-LSN fence (T5)")
+    r.add_argument("--watermark-dedup", action="store_true", help="dropDuplicatesWithinWatermark on lsn (T2)")
+    r.set_defaults(fn=cmd_replay)
+
+    s = sub.add_parser("snapshot", help="read the live snapshot (or a past version)")
+    s.add_argument("--lake", required=True)
+    s.add_argument("--version", type=int, default=None)
+    s.add_argument("--limit", type=int, default=20)
+    s.add_argument("--out", help="write full snapshot as parquet instead of printing")
+    s.set_defaults(fn=cmd_snapshot)
+
+    lk = sub.add_parser("lookup", help="point lookup by (repo, path), bucket-pruned")
+    lk.add_argument("--lake", required=True)
+    lk.add_argument("--repo", required=True)
+    lk.add_argument("--path", required=True)
+    lk.set_defaults(fn=cmd_lookup)
+
+    c = sub.add_parser("compact", help="fold delta files back into bucket bases")
+    c.add_argument("--lake", required=True)
+    c.add_argument("--buckets", help="comma-separated bucket ids (default: all delta'd)")
+    c.set_defaults(fn=cmd_compact)
+
+    v = sub.add_parser("vacuum", help="delete unreferenced orphan data files")
+    v.add_argument("--lake", required=True)
+    v.set_defaults(fn=cmd_vacuum)
+
+    m = sub.add_parser("metrics", help="print per-batch metrics JSONL")
+    m.add_argument("--lake", required=True)
+    m.add_argument("--tail", type=int, default=20)
+    m.set_defaults(fn=cmd_metrics)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        return args.fn(args)
+    except Exception as e:  # operational tool: one-line error, code 1
+        print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

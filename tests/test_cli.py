@@ -1,0 +1,63 @@
+"""python -m tartare_spark operational CLI: replay → snapshot → lookup →
+compact → vacuum → metrics over the unit fixture, in-process (the CLI
+builds its session via get_spark, which reuses the test JVM)."""
+
+import json
+
+from tartare_spark.__main__ import main
+from tartare_spark.fixtures import UNIT, generate_change_events
+from tartare_spark.lake.table import LakeTable
+
+
+def test_cli_end_to_end(spark, unit_events_dir, tmp_path, capsys):
+    lake_dir = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+
+    rc = main(
+        [
+            "replay",
+            "--events", f"{unit_events_dir}",
+            "--lake", lake_dir,
+            "--checkpoint", ckpt,
+            "--create",
+            "--buckets", "16",
+            "--max-files-per-trigger", "5",
+        ]
+    )
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0
+    rep = json.loads(out)
+    assert rep["batches_applied"] >= 1 and rep["rows_applied"] > 0
+
+    # snapshot row count must equal the library API's
+    lake = LakeTable(lake_dir)
+    n_expected = lake.snapshot(spark).count()
+    rc = main(["snapshot", "--lake", lake_dir, "--limit", "3"])
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    assert rc == 0 and len(lines) == 3
+
+    # lookup a key that exists (pick one live row) and one that doesn't
+    row = lake.snapshot(spark).limit(1).collect()[0]
+    rc = main(["lookup", "--lake", lake_dir, "--repo", row["repo"], "--path", row["path"]])
+    found = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and found["repo"] == row["repo"] and found["path"] == row["path"]
+    rc = main(["lookup", "--lake", lake_dir, "--repo", "nope", "--path", "nope"])
+    capsys.readouterr()
+    assert rc == 3
+
+    rc = main(["compact", "--lake", lake_dir])
+    comp = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and comp["compacted_buckets"] >= 0
+    assert LakeTable(lake_dir).snapshot(spark).count() == n_expected
+
+    rc = main(["vacuum", "--lake", lake_dir])
+    vac = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and vac["orphan_files_removed"] >= 0
+
+    rc = main(["metrics", "--lake", lake_dir, "--tail", "5"])
+    mets = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert rc == 0 and len(mets) >= 1 and "batch_id" in mets[0]
+
+    # errors are one-line + exit 1, not tracebacks
+    rc = main(["metrics", "--lake", str(tmp_path / "missing")])
+    assert rc == 1
