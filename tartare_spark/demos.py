@@ -1234,8 +1234,13 @@ WITH e AS (
   FROM embeddings
 ), vx AS (
   SELECT vec_id, v, {bucket} AS b FROM e WHERE vec_id >= 5
+), q0 AS (
+  SELECT vec_id AS q_id, v AS qv, {bucket} AS b0 FROM e WHERE vec_id < 5
 ), qx AS (
-  SELECT vec_id AS q_id, v AS qv, {bucket} AS b FROM e WHERE vec_id < 5
+  -- multi-probe: the query's own bucket plus every Hamming-1 flip
+  SELECT q_id, qv,
+         unnest([b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS b
+  FROM q0
 ), scored AS (
   SELECT qx.q_id, vx.vec_id,
          round(list_cosine_similarity(vx.v, qx.qv), 6) AS cos
@@ -1256,7 +1261,7 @@ def sim2_ann_lsh_bucketed(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     vectors = emb.filter(F.col("vec_id") >= 5)
-    return lsh_bucketed_topk(vectors, queries, k=5, n_planes=4)
+    return lsh_bucketed_topk(vectors, queries, k=5, n_planes=4, multi_probe=1)
 
 
 @demo(

@@ -78,6 +78,10 @@ LAKE_COLUMNS = [
 ]
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer claimed the next manifest version (commit CAS)."""
+
+
 def bucket_expr(num_buckets: int):
     return F.pmod(F.xxhash64(F.col("repo"), F.col("path")), F.lit(num_buckets)).cast(
         "int"
@@ -507,10 +511,48 @@ class LakeTable:
             "bucket_lsn": bucket_lsn,
             "stats": {**(extra_stats or {})},
         }
-        _atomic_write_json(_manifest_path(self.root, manifest["version"]), manifest)
+        self._claim_and_write_manifest(manifest)
         _atomic_write_text(
             os.path.join(self.root, "_current"), str(manifest["version"])
         )
+
+    def _claim_and_write_manifest(self, manifest: dict) -> None:
+        """Optimistic-concurrency guard on the commit: the manifest file
+        for version N+1 is created with O_EXCL, so exactly one writer can
+        claim a version. If the file already exists:
+
+        - same ``batch_id`` → it is OUR earlier attempt that crashed
+          between manifest write and pointer swap (streaming redelivers
+          the batch with the same id); reclaim it atomically so
+          checkpoint resume stays automatic. Unparseable JSON (crash
+          mid-write) is reclaimed the same way.
+        - different ``batch_id`` → a live concurrent writer claimed the
+          version first: raise ConcurrentCommitError instead of silently
+          dropping either batch. One active writer per table is the
+          supported deployment (Structured Streaming enforces one query
+          per checkpoint); this guard turns a misconfigured second
+          writer into a loud error."""
+        path = _manifest_path(self.root, manifest["version"])
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            try:
+                with open(path) as f:
+                    existing = json.load(f)
+            except (json.JSONDecodeError, ValueError):
+                existing = None  # partial write from a crashed commit
+            if existing is not None and existing.get("batch_id") != manifest["batch_id"]:
+                raise ConcurrentCommitError(
+                    f"manifest version {manifest['version']} already claimed by "
+                    f"batch {existing.get('batch_id')} (ours: {manifest['batch_id']}) "
+                    f"— another writer is committing to {self.root}"
+                )
+            _atomic_write_json(path, manifest)
+            return
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
 
     # ------------------------------------------------------------------
     # lineage & metrics (SURVEY.md §2 W3/T7; BASELINE.json:6)

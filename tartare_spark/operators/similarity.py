@@ -185,16 +185,30 @@ def lsh_bucketed_topk(
     queries: DataFrame,
     k: int = 5,
     n_planes: int = 6,
+    multi_probe: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
 ) -> DataFrame:
     """ANN: candidates restricted to the query's hyperplane bucket, then
-    exact cosine top-k within it. Recall is tunable by n_planes /
-    multi-probe; this is the partition-pruned scale path."""
+    exact cosine top-k within it — the partition-pruned scale path.
+
+    ``multi_probe=1`` additionally probes every bucket at Hamming
+    distance 1 from the query's (each single hyperplane-sign flip):
+    recall rises from p^H toward coverage of the near-miss buckets at
+    the cost of H+1× candidates. Only the (tiny, broadcast) query side
+    fans out — each data vector still lives in exactly ONE bucket, so
+    candidates stay duplicate-free and the index is unchanged."""
     v = vectors.withColumn("_b", hyperplane_bucket(F.col(vec_col), n_planes))
     q = queries.withColumn("_b", hyperplane_bucket(F.col(q_vec_col), n_planes))
+    if multi_probe:
+        assert multi_probe == 1, "only Hamming-1 probing is implemented"
+        probes = F.array(
+            F.col("_b"),
+            *[F.col("_b").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+        )
+        q = q.withColumn("_b", F.explode(probes))
     j = v.join(F.broadcast(q), "_b")
     scored = j.select(
         F.col(q_id_col),

@@ -263,3 +263,26 @@ def test_rolling_fingerprint_order_sensitive(spark):
     assert fp[1] == fp[3]
     assert fp[1] != fp[2]
     assert all(0 <= v < 2_147_483_647 for v in fp.values())
+
+
+def test_lsh_multiprobe_recall_dominates_single(spark):
+    """Hamming-1 multi-probe candidates are a superset of the single-
+    bucket candidates, so every query's best hit is at least as good."""
+    from tartare_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    v = emb.filter(F.col("vec_id") >= 5)
+    single = {
+        (r["q_id"], r["rk"]): r["cos"]
+        for r in lsh_bucketed_topk(v, q, k=1, n_planes=4).collect()
+    }
+    multi = {
+        (r["q_id"], r["rk"]): r["cos"]
+        for r in lsh_bucketed_topk(v, q, k=1, n_planes=4, multi_probe=1).collect()
+    }
+    assert set(single) <= set(multi)  # every answered query still answered
+    for key, cos in single.items():
+        assert multi[key] >= cos

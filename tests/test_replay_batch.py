@@ -207,3 +207,34 @@ def test_mor_apply_plan_has_single_shuffle(spark, unit_events):
         phys.explain()
     plan = buf.getvalue()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_concurrent_commit_guard(spark, unit_events, tmp_path):
+    """A foreign partial manifest at version N+1 (different batch_id)
+    must fail the commit loudly; our OWN crashed attempt (same batch_id)
+    or an unparseable partial is reclaimed so checkpoint resume stays
+    automatic."""
+    import json
+    import os
+
+    from tartare_spark.lake.table import ConcurrentCommitError
+
+    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=8)
+    replay_batches(spark, lake, unit_events, num_chunks=2)
+    v = lake.current_version()
+
+    # foreign claim on the next version → loud error, state unchanged
+    foreign = str(tmp_path / "lake" / "_manifests" / f"v{v + 1:012d}.json")
+    os.makedirs(os.path.dirname(foreign), exist_ok=True)
+    with open(foreign, "w") as f:
+        json.dump({"batch_id": 9999, "version": v + 1}, f)
+    with pytest.raises(ConcurrentCommitError):
+        apply_batch(spark, lake, unit_events, batch_id=lake.last_batch_id() + 1)
+    assert lake.current_version() == v
+
+    # unparseable partial (crashed commit mid-write) → reclaimed
+    with open(foreign, "w") as f:
+        f.write('{"batch_id": 99')
+    res = apply_batch(spark, lake, unit_events, batch_id=lake.last_batch_id() + 1)
+    assert not res["skipped"]
+    assert lake.current_version() == v + 1
