@@ -913,6 +913,32 @@ def e1_evolve_add_column(spark, sf_dir):
 
 
 @demo(
+    "e4_evolve_drop_column",
+    "SELECT s_suppkey, s_name, s_nationkey FROM supplier",
+)
+def e4_evolve_drop_column(spark, sf_dir):
+    """Metadata-only drop: the physical column survives in the files
+    (time travel to a watermark below the drop's effective LSN still
+    sees s_acctbal); snapshots at/after it stop projecting it."""
+    from tartare_spark.registry import SchemaRegistry
+
+    reg = SchemaRegistry(
+        [
+            {"version": 1, "effective_lsn": 0, "action": "base", "column": None,
+             "renamed_from": None, "default_expr": None},
+            {"version": 2, "effective_lsn": 7, "action": "drop",
+             "column": "s_acctbal", "renamed_from": None, "default_expr": None},
+        ]
+    )
+    supplier = T(spark, sf_dir, "supplier")
+    out = reg.apply_read(supplier, watermark=10)
+    assert "s_acctbal" not in out.columns
+    # time travel below the drop's effective LSN keeps the column
+    assert "s_acctbal" in reg.apply_read(supplier, watermark=5).columns
+    return out
+
+
+@demo(
     "e2_evolve_rename_column",
     "SELECT r_regionkey, r_name AS region_name FROM region",
 )

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 class SchemaRegistry:
     def __init__(self, rows: list[dict]):
         """``rows``: dicts with version, effective_lsn, action
-        (base|add|rename), column, renamed_from, default_expr."""
+        (base|add|rename|drop), column, renamed_from, default_expr."""
         self.rows = sorted(rows, key=lambda r: int(r["version"]))
 
     # -- metadata ------------------------------------------------------
@@ -60,6 +60,13 @@ class SchemaRegistry:
                 old, new = r["renamed_from"], r["column"]
                 if old in df.columns:
                     df = df.withColumnRenamed(old, new)
+            elif r["action"] == "drop":
+                # metadata-only drop (Iceberg-style): the physical column
+                # stays in the files; snapshots at/after the effective
+                # LSN simply stop projecting it. Time travel to an older
+                # watermark still sees it.
+                if r["column"] in df.columns:
+                    df = df.drop(r["column"])
         return df
 
     # -- as-of version tagging (J5) -------------------------------------
