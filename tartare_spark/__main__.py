@@ -116,6 +116,13 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_expire(args) -> int:
+    lake = _lake(args)
+    n = lake.expire_snapshots(keep_last=args.keep_last)
+    print(json.dumps({"expired": n, "oldest_retained": lake.oldest_version()}))
+    return 0
+
+
 def cmd_metrics(args) -> int:
     lake = _lake(args)
     for rec in lake.metrics()[-args.tail:]:
@@ -162,6 +169,11 @@ def build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("vacuum", help="delete unreferenced orphan data files")
     v.add_argument("--lake", required=True)
     v.set_defaults(fn=cmd_vacuum)
+
+    e = sub.add_parser("expire", help="expire snapshots beyond a retention window")
+    e.add_argument("--lake", required=True)
+    e.add_argument("--keep-last", type=int, default=10)
+    e.set_defaults(fn=cmd_expire)
 
     m = sub.add_parser("metrics", help="print per-batch metrics JSONL")
     m.add_argument("--lake", required=True)

@@ -151,10 +151,44 @@ class LakeTable:
         with open(os.path.join(self.root, "_current")) as f:
             return int(f.read().strip())
 
+    def oldest_version(self) -> int:
+        """Oldest RETAINED snapshot (older ones were expired)."""
+        p = os.path.join(self.root, "_oldest")
+        if os.path.exists(p):
+            with open(p) as f:
+                return int(f.read().strip())
+        return 0
+
     def manifest(self, version: int | None = None) -> dict[str, Any]:
         v = self.current_version() if version is None else version
+        if v < self.oldest_version():
+            raise ValueError(
+                f"snapshot v{v} was expired (oldest retained: "
+                f"v{self.oldest_version()}); time travel is bounded by "
+                "expire_snapshots retention"
+            )
         with open(_manifest_path(self.root, v)) as f:
             return json.load(f)
+
+    def expire_snapshots(self, keep_last: int = 10) -> int:
+        """Expire snapshots older than the newest ``keep_last`` (Iceberg
+        maintenance parity): their manifest JSONs are deleted and the
+        ``_oldest`` marker advances, which bounds time travel AND lets
+        ``vacuum()`` reclaim data files referenced only by expired
+        snapshots. At 10^10-event scale this is what keeps metadata and
+        storage O(retained history) instead of O(all history).
+        Driver-side metadata-only; returns the number expired."""
+        assert keep_last >= 1
+        cur = self.current_version()
+        new_oldest = max(self.oldest_version(), cur - keep_last + 1)
+        expired = 0
+        for v in range(self.oldest_version(), new_oldest):
+            p = _manifest_path(self.root, v)
+            if os.path.exists(p):
+                os.remove(p)
+                expired += 1
+        _atomic_write_text(os.path.join(self.root, "_oldest"), str(new_oldest))
+        return expired
 
     def last_batch_id(self) -> int:
         return int(self.manifest()["batch_id"])
@@ -560,7 +594,7 @@ class LakeTable:
     def lineage(self) -> list[dict]:
         """Per-bucket applied-LSN watermark progression across snapshots."""
         out = []
-        for v in range(self.current_version() + 1):
+        for v in range(self.oldest_version(), self.current_version() + 1):
             m = self.manifest(v)
             for b, lsn in m["bucket_lsn"].items():
                 out.append(
@@ -601,10 +635,11 @@ class LakeTable:
         return found
 
     def vacuum(self) -> int:
-        """Delete orphan batch dirs not referenced by ANY manifest ≤
-        current (time-travel safe for retained snapshots)."""
+        """Delete orphan batch dirs not referenced by any RETAINED
+        manifest (time-travel safe for retained snapshots; run
+        ``expire_snapshots`` first to shrink the retained set)."""
         referenced: set[str] = set()
-        for v in range(self.current_version() + 1):
+        for v in range(self.oldest_version(), self.current_version() + 1):
             m = self.manifest(v)
             for fl in m["files"].values():
                 referenced.update(fl)

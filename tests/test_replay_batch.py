@@ -238,3 +238,31 @@ def test_concurrent_commit_guard(spark, unit_events, tmp_path):
     res = apply_batch(spark, lake, unit_events, batch_id=lake.last_batch_id() + 1)
     assert not res["skipped"]
     assert lake.current_version() == v + 1
+
+
+def test_expire_snapshots_bounds_history(spark, unit_events, tmp_path):
+    """expire_snapshots bounds time travel + lets vacuum reclaim files
+    referenced only by expired snapshots; the live state is untouched."""
+    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=8, mode="cow")
+    replay_batches(spark, lake, unit_events, num_chunks=4)
+    cur = lake.current_version()
+    assert cur >= 4
+    live_before = lake.snapshot(spark).count()
+
+    expired = lake.expire_snapshots(keep_last=2)
+    assert expired == cur - 1  # versions 0..cur-2 gone
+    assert lake.oldest_version() == cur - 1
+
+    # live state + retained time travel intact; expired travel is a
+    # clear error, not a FileNotFoundError
+    assert lake.snapshot(spark).count() == live_before
+    assert lake.snapshot(spark, version=cur - 1).count() >= 0
+    with pytest.raises(ValueError, match="expired"):
+        lake.snapshot(spark, version=0)
+
+    # CoW rewrites leave old bucket files referenced ONLY by expired
+    # manifests; vacuum can now reclaim them
+    removed = lake.vacuum()
+    assert removed > 0
+    assert lake.snapshot(spark).count() == live_before
+    assert len(lake.lineage()) > 0
