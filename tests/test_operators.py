@@ -286,3 +286,32 @@ def test_lsh_multiprobe_recall_dominates_single(spark):
     assert set(single) <= set(multi)  # every answered query still answered
     for key, cos in single.items():
         assert multi[key] >= cos
+
+
+def test_simhash_banded_is_exact_for_hamming_r(spark):
+    """Pigeonhole banding is COMPLETE (any pair within Hamming r shares
+    a band) and the bit_count verify makes it SOUND: the banded join
+    must return exactly the brute-force Hamming <= r pair set."""
+    from tartare_spark.operators.dedup_docs import simhash, simhash_near_dups_banded
+
+    rows = []
+    for i in range(40):
+        base = [f"w{j}" for j in range(60)]
+        # clusters of 4 share most tokens -> many near-dup pairs
+        base[i % 7] = f"mut{i // 4}"
+        base[(i * 3) % 11 + 20] = f"alt{i % 4}"
+        rows.append((i, " ".join(base)))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=32).collect()}
+    expected = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dups_banded(docs, bits=32, r=3).collect()
+    }
+    assert got == expected and len(expected) > 0
