@@ -1526,3 +1526,69 @@ def tx4_rolling_fingerprint(spark, sf_dir):
 
     docs = T(spark, sf_dir, "documents")
     return docs.select("doc_id", rolling_fingerprint(F.col("text")).alias("roll_fp"))
+
+
+@demo(
+    "tx5_chunk_fingerprints",
+    # mirror operators/text.chunk_fingerprints: 16-token windows every 8
+    # tokens, rolling hash per window (list_reduce with prepended 0 ==
+    # Spark aggregate with 0 init; DuckDB range() is stop-exclusive)
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             list_transform(tk, x ->
+               CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
+      FROM t
+    ), w AS (
+      SELECT doc_id,
+             unnest([{'win': CAST((i - 1) // 8 AS INT),
+                      'fp': list_reduce(
+                              list_prepend(CAST(0 AS BIGINT), hs[i:i+15]),
+                              (acc, x) -> (acc * 131 + x) % 2147483647)}
+                     for i in range(1, greatest(len(hs) - 15, 1) + 1, 8)]) AS c
+      FROM h
+    )
+    SELECT doc_id, c.win AS win, c.fp AS fp FROM w
+    """,
+)
+def tx5_chunk_fingerprints(spark, sf_dir):
+    """Passage-level rolling fingerprints (fuzzy containment detection:
+    a copied passage matches on chunk fps even when doc hashes differ)."""
+    from tartare_spark.operators.text import chunk_fingerprints
+
+    docs = T(spark, sf_dir, "documents")
+    return chunk_fingerprints(docs, window=16, stride=8)
+
+
+@demo(
+    "tx6_redact_pii",
+    """
+    WITH r1 AS (
+      SELECT doc_id, text,
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                          '<IP>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t1,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT)
+             AS n_ips
+    FROM r1
+    """,
+)
+def tx6_redact_pii(spark, sf_dir):
+    """Training-data hygiene: tag-out emails/IPv4s + per-doc counts —
+    codegen'd regexp, zero shuffle."""
+    from tartare_spark.operators.text import redact_pii
+
+    docs = T(spark, sf_dir, "documents")
+    return redact_pii(docs)

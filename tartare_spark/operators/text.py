@@ -115,6 +115,68 @@ def rolling_fingerprint(col: Column) -> Column:
     )
 
 
+def chunk_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 16,
+    stride: int = 8,
+) -> DataFrame:
+    """Passage-level rolling fingerprints: the token stream is cut into
+    overlapping ``window``-token chunks every ``stride`` tokens and each
+    chunk gets the polynomial rolling hash — the basis for fuzzy
+    CONTAINMENT detection (a copied passage inside an otherwise-new
+    document matches on its chunk fingerprints even when whole-document
+    hashes differ). All higher-order array ops, one explode, zero
+    Python; the shuffle (if any downstream) carries (doc_id, win, fp)
+    longs only, never text."""
+    toks = tokens(F.lower(F.col(text_col)))
+    hs = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size(hs) - F.lit(window) + 1, F.lit(1)),
+        F.lit(stride),
+    )
+    fps = F.transform(
+        starts,
+        lambda i: F.struct(
+            ((i - 1) / stride).cast("int").alias("win"),
+            F.aggregate(
+                F.slice(hs, i, window),
+                F.lit(0).cast("long"),
+                lambda acc, h: (acc * ROLL_BASE + h) % ROLL_MOD,
+            ).alias("fp"),
+        ),
+    )
+    return docs.select(
+        F.col("doc_id"), F.explode(fps).alias("c")
+    ).select("doc_id", F.col("c.win").alias("win"), F.col("c.fp").alias("fp"))
+
+
+# Redaction patterns chosen to parse identically under Java regex
+# (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data hygiene: replace email addresses and IPv4 literals
+    with fixed tags and count the redactions per document. Pure JVM
+    regexp — at 100 TB this runs inside whole-stage codegen with zero
+    shuffle (counts are per-row, not aggregated here)."""
+    c = F.col(text_col)
+    n_email = F.regexp_count(c, F.lit(EMAIL_RE)).cast("long")
+    redacted1 = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    n_ip = F.regexp_count(redacted1, F.lit(IPV4_RE)).cast("long")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(redacted1, IPV4_RE, "<IP>").alias("redacted"),
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ips"),
+    )
+
+
 @pandas_udf("string")
 def normalize_content(s: pd.Series) -> pd.Series:
     """D1 vectorized content normalizer (Arrow batches): line endings,

@@ -315,3 +315,49 @@ def test_simhash_banded_is_exact_for_hamming_r(spark):
         for r in simhash_near_dups_banded(docs, bits=32, r=3).collect()
     }
     assert got == expected and len(expected) > 0
+
+
+def test_chunk_fingerprints_detect_containment(spark):
+    """A 16-token passage copied into an otherwise-different document
+    produces a shared chunk fingerprint (fuzzy containment), while
+    whole-document fingerprints differ."""
+    from tartare_spark.operators.text import chunk_fingerprints, rolling_fingerprint
+
+    passage = " ".join(f"p{i}" for i in range(16))
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(24)) + " " + passage),
+        (2, passage + " " + " ".join(f"b{i}" for i in range(24))),
+        (3, " ".join(f"c{i}" for i in range(40))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    whole = {r["doc_id"]: r["fp"] for r in docs.select(
+        "doc_id", rolling_fingerprint(F.col("text")).alias("fp")).collect()}
+    assert len(set(whole.values())) == 3  # all documents distinct
+
+    fps = chunk_fingerprints(docs, window=16, stride=8).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2]          # shared passage detected
+    assert not (by_doc[1] & by_doc[3])    # no false sharing
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_redact_pii_counts_and_tags(spark):
+    from tartare_spark.operators.text import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact alice@example.com or bob@corp.io at 10.0.0.1 ok"),
+            (2, "version 1.2.3 is not an ip but 192.168.0.255 is"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert out[1]["n_emails"] == 2 and out[1]["n_ips"] == 1
+    assert "<EMAIL>" in out[1]["redacted"] and "<IP>" in out[1]["redacted"]
+    assert "alice@example.com" not in out[1]["redacted"]
+    assert out[2]["n_emails"] == 0 and out[2]["n_ips"] == 1
+    assert "1.2.3" in out[2]["redacted"]  # versions survive
+    assert out[3]["redacted"] == "nothing sensitive here"
