@@ -215,22 +215,29 @@ class LakeTable:
         spark: SparkSession,
         buckets: list[int] | None = None,
         version: int | None = None,
+        with_bucket: bool = True,
     ) -> DataFrame:
         """Raw snapshot incl. tombstones & system columns, optionally
         pruned to a bucket subset. In MOR mode this resolves base ∪
         deltas to one row per key (last-writer-wins by ``_lsn``) — the
-        read-time half of merge-on-read."""
+        read-time half of merge-on-read.
+
+        ``with_bucket=False`` skips recomputing the ``_bucket`` column
+        for readers that don't need it (snapshot/lookup): the MOR dedup
+        packs every payload column into its max_by struct, so Catalyst
+        cannot prune the hash away after the fact — opt out up front."""
         base = self._files(buckets, version)
         deltas = self._files(buckets, version, kind="deltas")
         if not base and not deltas:
             from tartare_spark.lake.schema import RAW_LAKE_SCHEMA
 
-            return spark.createDataFrame([], RAW_LAKE_SCHEMA)
+            df = spark.createDataFrame([], RAW_LAKE_SCHEMA)
+            return df if with_bucket else df.drop("_bucket")
         # ``_bucket`` is a write-side directory partition (dropped from the
         # data files); recompute it — it is a pure codegen'd hash of the key.
-        df = spark.read.parquet(*(base + deltas)).withColumn(
-            "_bucket", bucket_expr(self.num_buckets)
-        )
+        df = spark.read.parquet(*(base + deltas))
+        if with_bucket:
+            df = df.withColumn("_bucket", bucket_expr(self.num_buckets))
         if deltas:
             from tartare_spark.operators.dedup import dedup_latest_lsn
 
@@ -251,9 +258,9 @@ class LakeTable:
         effective at the snapshot watermark are applied (metadata-only
         evolution, Iceberg-style)."""
         df = (
-            self.read_raw(spark, version=version)
+            self.read_raw(spark, version=version, with_bucket=False)
             .filter(~F.col("_deleted"))
-            .drop("_bucket", "_ts")
+            .drop("_ts")
         )
         if registry is not None:
             m = self.manifest(version)
@@ -275,10 +282,10 @@ class LakeTable:
             .collect()[0]["b"]
         )
         return (
-            self.read_raw(spark, buckets=[int(b)])
+            self.read_raw(spark, buckets=[int(b)], with_bucket=False)
             .filter((F.col("repo") == repo) & (F.col("path") == path))
             .filter(~F.col("_deleted"))
-            .drop("_bucket", "_deleted", "_ts")
+            .drop("_deleted", "_ts")
         )
 
     # ------------------------------------------------------------------

@@ -266,3 +266,18 @@ def test_expire_snapshots_bounds_history(spark, unit_events, tmp_path):
     assert removed > 0
     assert lake.snapshot(spark).count() == live_before
     assert len(lake.lineage()) > 0
+
+
+def test_snapshot_plan_skips_bucket_hash(spark, unit_events, tmp_path):
+    """Analytical reads must not pay the per-row bucket hash: the MOR
+    dedup would pack _bucket into its max_by struct (unprunable), so
+    snapshot opts out of computing it entirely."""
+    import io
+    from contextlib import redirect_stdout
+
+    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=8)
+    replay_batches(spark, lake, unit_events, num_chunks=2)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        lake.snapshot(spark).explain(True)
+    assert "xxhash64" not in buf.getvalue()
