@@ -59,6 +59,7 @@ def replay_referee(
     final_lsn = int(ev["lsn"].max()) if len(ev) else 0
     lang_name = "lang"
     backfill = False
+    lang_dropped = False
     if registry:
         for r in sorted(registry, key=lambda r: r["version"]):
             if r["effective_lsn"] <= final_lsn:
@@ -66,22 +67,27 @@ def replay_referee(
                     backfill = True
                 elif r["action"] == "rename" and r["renamed_from"] == "lang":
                     lang_name = r["column"]
+                elif r["action"] == "drop" and r["column"] == lang_name:
+                    lang_dropped = True
 
     out = []
     for v in state.values():
         lang = v["lang"]
         if backfill and lang is None:
             lang = EXT_LANG.get(path_ext(v["path"]))
-        out.append(
-            {
-                "repo": v["repo"],
-                "path": v["path"],
-                "commit": v["commit"],
-                lang_name: lang,
-                "content": v["content"],
-                "_lsn": v["_lsn"],
-                "_content_sha": _sha(v["content"]),
-            }
-        )
+        rec = {
+            "repo": v["repo"],
+            "path": v["path"],
+            "commit": v["commit"],
+            lang_name: lang,
+            "content": v["content"],
+            "_lsn": v["_lsn"],
+            "_content_sha": _sha(v["content"]),
+        }
+        if lang_dropped:
+            del rec[lang_name]
+        out.append(rec)
     cols = ["repo", "path", "commit", lang_name, "content", "_lsn", "_content_sha"]
+    if lang_dropped:
+        cols.remove(lang_name)
     return pd.DataFrame(out, columns=cols)

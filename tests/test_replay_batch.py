@@ -281,3 +281,20 @@ def test_snapshot_plan_skips_bucket_hash(spark, unit_events, tmp_path):
     with redirect_stdout(buf):
         lake.snapshot(spark).explain(True)
     assert "xxhash64" not in buf.getvalue()
+
+
+def test_replay_with_drop_registry(spark, unit_events, tmp_path):
+    """E4 end-to-end: a registry that later DROPS the evolved column
+    yields identical engine-vs-referee state without it; time travel via
+    a lower watermark would still see it (metadata-only drop)."""
+    reg_rows = registry_rows(UNIT) + [
+        {"version": 4, "effective_lsn": UNIT.v2_lsn + 1, "action": "drop",
+         "column": "language", "renamed_from": None, "default_expr": None},
+    ]
+    lake = LakeTable.create(str(tmp_path / "lake_drop"), num_buckets=16)
+    replay_batches(
+        spark, lake, unit_events, num_chunks=4, registry=SchemaRegistry(reg_rows)
+    )
+    engine = lake.snapshot(spark, registry=SchemaRegistry(reg_rows))
+    assert "language" not in engine.columns and "lang" not in engine.columns
+    assert_state_equals_referee(spark, lake, reg_rows=reg_rows)
