@@ -46,7 +46,13 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 # shingling + oracle-reproducible hashing
 # ----------------------------------------------------------------------
 def word_shingles(col, n: int = 3):
-    """n-word shingles as an array<string> (distinct)."""
+    """n-word shingles as an array<string> (distinct).
+
+    NOTE: this single-expression form references the tokenized array
+    once per shingle word, and codegen re-evaluates the regexp+split
+    for every reference (~6× slower than materializing tokens first).
+    Hot paths should use :func:`shingle_rows` instead; this stays for
+    expression-level composition."""
     toks = F.split(_norm(col), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(
@@ -58,6 +64,31 @@ def word_shingles(col, n: int = 3):
     return F.array_distinct(
         F.when(F.size(toks) >= n, sh).otherwise(F.array(_norm(col)))
     )
+
+
+def shingle_rows(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Exploded (id, shingle) rows — the hot-path shingler. Tokens are
+    materialized in their OWN projection first: the shingle expression
+    references the token array n+2 times, and whole-stage codegen
+    re-evaluates a non-materialized split+regexp per reference
+    (measured ~6× at sf0.1). Same output values as word_shingles."""
+    t = docs.select(
+        F.col(id_col), F.split(_norm(F.col(text_col)), " ").alias("_tk")
+    )
+    toks = F.col("_tk")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    expr = F.array_distinct(
+        # joining the tokens back with single spaces == the normalized
+        # text (norm collapsed whitespace), so values match word_shingles
+        F.when(F.size(toks) >= n, sh).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+    return t.select(F.col(id_col), F.explode(expr).alias("s"))
 
 
 def md5_int(col):
@@ -100,9 +131,9 @@ def minhash_signature(docs: DataFrame, id_col: str, text_col: str, k: int = 12, 
     k-seeded-md5 variant recomputed the digest k times per shingle;
     the digest dominates, so this is ~k× less hashing."""
     assert k <= len(MINHASH_A)
-    sh = docs.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
-    ).select(F.col(id_col), md5_int32(F.col("s")).alias("h"))
+    sh = shingle_rows(docs, id_col, text_col, shingle_n).select(
+        F.col(id_col), md5_int32(F.col("s")).alias("h")
+    )
     aggs = [
         F.min(
             (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
@@ -181,9 +212,7 @@ def jaccard_pairs(
     makes the join quadratic in corpus size. Jaccard is then computed
     over the filtered shingle space (both intersection and sizes), which
     also improves precision by ignoring boilerplate."""
-    sh = docs.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s")
-    )
+    sh = shingle_rows(docs, id_col, text_col, shingle_n)
     if max_df is not None:
         dfreq = sh.groupBy("s").agg(F.count("*").alias("_df"))
         sh = sh.join(dfreq.filter(F.col("_df") <= max_df).select("s"), "s")

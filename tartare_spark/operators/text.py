@@ -129,10 +129,17 @@ def chunk_fingerprints(
     hashes differ). All higher-order array ops, one explode, zero
     Python; the shuffle (if any downstream) carries (doc_id, win, fp)
     longs only, never text."""
-    toks = tokens(F.lower(F.col(text_col)))
-    hs = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    # hash the token stream in its OWN projection: referencing a
+    # non-materialized array expression inside every window slice makes
+    # codegen recompute the md5 of ALL tokens once per window.
+    hashed = docs.select(
+        F.col("doc_id"),
+        F.transform(
+            tokens(F.lower(F.col(text_col))),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+        ).alias("_hs"),
     )
+    hs = F.col("_hs")
     starts = F.sequence(
         F.lit(1),
         F.greatest(F.size(hs) - F.lit(window) + 1, F.lit(1)),
@@ -149,7 +156,7 @@ def chunk_fingerprints(
             ).alias("fp"),
         ),
     )
-    return docs.select(
+    return hashed.select(
         F.col("doc_id"), F.explode(fps).alias("c")
     ).select("doc_id", F.col("c.win").alias("win"), F.col("c.fp").alias("fp"))
 
@@ -177,13 +184,7 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-@pandas_udf("string")
-def normalize_content(s: pd.Series) -> pd.Series:
-    """D1 vectorized content normalizer (Arrow batches): line endings,
-    tabs, trailing whitespace. Reference analog: Ruspell content
-    rewriting [PK: tartare/processes/contributor/ruspell.py] — heavy
-    string surgery belongs in pandas, one batch at a time, never per-row
-    Python."""
+def _normalize_kernel(s: pd.Series) -> pd.Series:
     return (
         s.fillna("")
         .str.replace("\r\n", "\n", regex=False)
@@ -191,6 +192,17 @@ def normalize_content(s: pd.Series) -> pd.Series:
         .str.replace(r"[ ]+\n", "\n", regex=True)
         .str.strip()
     )
+
+
+def normalize_content(col) -> Column:
+    """D1 vectorized content normalizer (Arrow batches): line endings,
+    tabs, trailing whitespace. Reference analog: Ruspell content
+    rewriting [PK: tartare/processes/contributor/ruspell.py] — heavy
+    string surgery belongs in pandas, one batch at a time, never per-row
+    Python. The pandas_udf is built lazily at call time: a module-level
+    ``@pandas_udf`` decorator needs an active SparkSession just to
+    import the module."""
+    return pandas_udf(_normalize_kernel, "string")(col)
 
 
 def vocab_topk(docs: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
