@@ -123,6 +123,19 @@ def cmd_expire(args) -> int:
     return 0
 
 
+def cmd_changes(args) -> int:
+    spark = _spark(args)
+    lake = _lake(args)
+    df = lake.changes(spark, args.from_version, args.to_version)
+    if args.out:
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"rows": df.count(), "out": args.out}))
+    else:
+        for r in df.limit(args.limit).collect():
+            print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def cmd_metrics(args) -> int:
     lake = _lake(args)
     for rec in lake.metrics()[-args.tail:]:
@@ -174,6 +187,14 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--lake", required=True)
     e.add_argument("--keep-last", type=int, default=10)
     e.set_defaults(fn=cmd_expire)
+
+    ch = sub.add_parser("changes", help="incremental change feed between versions")
+    ch.add_argument("--lake", required=True)
+    ch.add_argument("--from-version", type=int, required=True)
+    ch.add_argument("--to-version", type=int, default=None)
+    ch.add_argument("--limit", type=int, default=20)
+    ch.add_argument("--out", help="write the feed as parquet instead of printing")
+    ch.set_defaults(fn=cmd_changes)
 
     m = sub.add_parser("metrics", help="print per-batch metrics JSONL")
     m.add_argument("--lake", required=True)

@@ -1592,3 +1592,58 @@ def tx6_redact_pii(spark, sf_dir):
 
     docs = T(spark, sf_dir, "documents")
     return redact_pii(docs)
+
+
+_CHANGES_SQL = """
+WITH ch AS (
+  SELECT event_id + 1 AS lsn,
+         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
+         'repo_' || CAST(user_id % 8 AS VARCHAR) AS repo,
+         'u/' || CAST(user_id AS VARCHAR) AS path,
+         substr(md5(event_type || CAST(event_id AS VARCHAR)), 1, 12) AS "commit",
+         CASE WHEN event_type = 'error' THEN ''
+              ELSE props || '|' || CAST(event_id AS VARCHAR) END AS content
+  FROM events
+), b AS (
+  SELECT min(lsn) AS lo, max(lsn) AS hi FROM ch
+), parts AS (
+  SELECT ch.*,
+         CAST(floor((lsn - b.lo) / ((b.hi - b.lo + 1 + 3) // 4)) AS INT) AS chunk
+  FROM ch, b
+), last AS (
+  SELECT chunk, repo, path,
+         arg_max(op, lsn) AS op,
+         arg_max("commit", lsn) AS "commit",
+         arg_max(content, lsn) AS content,
+         max(lsn) AS _lsn
+  FROM parts GROUP BY chunk, repo, path
+)
+SELECT repo, path, "commit", content, _lsn,
+       op = 'delete' AS _deleted,
+       sha256(content) AS _content_sha,
+       CAST(chunk + 1 AS INT) AS _commit_version
+FROM last WHERE chunk >= 1
+"""
+
+
+@demo("cdc_changes_feed", _CHANGES_SQL)
+def cdc_changes_feed(spark, sf_dir):
+    """Incremental change-feed read (Iceberg incremental-scan analog):
+    replay the changelog in 4 LSN-range chunks, then serve every row
+    committed AFTER version 1 — upserts + tombstones, tagged with the
+    commit version — via a pure metadata-pruned read of the per-commit
+    delta files (the table itself is never scanned)."""
+    import shutil
+
+    from tartare_spark.lake.table import LakeTable
+    from tartare_spark.operators.apply import replay_batches
+
+    ch = _events_as_changelog(spark, sf_dir)
+    root = os.path.join(tempfile.gettempdir(), f"tartare_feed_lake_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    lake = LakeTable.create(os.path.join(root, "lake"), num_buckets=16)
+    replay_batches(spark, lake, ch, num_chunks=4)
+    return lake.changes(spark, from_version=1).select(
+        "repo", "path", "commit", "content", "_lsn", "_deleted",
+        "_content_sha", "_commit_version",
+    )

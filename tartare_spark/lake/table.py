@@ -268,6 +268,70 @@ class LakeTable:
             df = registry.apply_read(df, watermark)
         return df.drop("_deleted")
 
+    def changes(
+        self,
+        spark: SparkSession,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Incremental change feed (Iceberg incremental-scan parity):
+        the physical rows committed in versions (from_version,
+        to_version] — upserts AND tombstones, one row per key per
+        commit, tagged with ``_commit_version``/``_batch_id`` so
+        downstream consumers can resume by version. In MOR mode each
+        commit's delta files contain exactly the deduped changed rows,
+        so this is a pure metadata-pruned file read — cost O(changed
+        rows), the table itself is never scanned. Maintenance commits
+        (compaction: batch_id unchanged from parent) rewrite state
+        without changing it and are skipped."""
+        to_version = self.current_version() if to_version is None else to_version
+        if not from_version <= to_version:
+            raise ValueError(f"from_version {from_version} > to_version {to_version}")
+        if self.mode != "mor":
+            raise ValueError(
+                "changes() requires merge-on-read mode (CoW commits rewrite "
+                "whole buckets; diff two snapshot() reads instead)"
+            )
+        frames = []
+        prev = self.manifest(from_version)
+        for v in range(from_version + 1, to_version + 1):
+            m = self.manifest(v)
+            if m["batch_id"] == prev["batch_id"]:
+                prev = m  # compaction/maintenance: no logical change
+                continue
+            seen = {
+                f
+                for fl in list(prev.get("deltas", {}).values())
+                + list(prev["files"].values())
+                for f in fl
+            }
+            new_files = [
+                f
+                for fl in m.get("deltas", {}).values()
+                for f in fl
+                if f not in seen
+            ]
+            if new_files:
+                frames.append(
+                    spark.read.parquet(*new_files)
+                    .withColumn("_commit_version", F.lit(v))
+                    .withColumn("_batch_id", F.lit(int(m["batch_id"])))
+                )
+            prev = m
+        if not frames:
+            from tartare_spark.lake.schema import RAW_LAKE_SCHEMA
+
+            return (
+                spark.createDataFrame([], RAW_LAKE_SCHEMA)
+                .drop("_bucket")
+                .withColumn("_commit_version", F.lit(0))
+                .withColumn("_batch_id", F.lit(0))
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     def lookup(self, spark: SparkSession, repo: str, path: str) -> DataFrame:
         """Point lookup by primary key, pruned to the key's single
         bucket: reads 1/num_buckets of the table regardless of table

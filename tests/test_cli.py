@@ -54,6 +54,10 @@ def test_cli_end_to_end(spark, unit_events_dir, tmp_path, capsys):
     vac = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and vac["orphan_files_removed"] >= 0
 
+    rc = main(["changes", "--lake", lake_dir, "--from-version", "0", "--limit", "2"])
+    ch = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    assert rc == 0 and len(ch) == 2 and "_commit_version" in ch[0]
+
     rc = main(["metrics", "--lake", lake_dir, "--tail", "5"])
     mets = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert rc == 0 and len(mets) >= 1 and "batch_id" in mets[0]

@@ -298,3 +298,41 @@ def test_replay_with_drop_registry(spark, unit_events, tmp_path):
     engine = lake.snapshot(spark, registry=SchemaRegistry(reg_rows))
     assert "language" not in engine.columns and "lang" not in engine.columns
     assert_state_equals_referee(spark, lake, reg_rows=reg_rows)
+
+
+def test_changes_feed_matches_applied_batches(spark, unit_events, tmp_path):
+    """changes(v-1, v) returns exactly the deduped rows each commit
+    applied (upserts + tombstones); compaction commits contribute no
+    feed rows; the full feed from 0 composes the same final state."""
+    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=8)
+    recs = replay_batches(spark, lake, unit_events, num_chunks=3)
+    cur = lake.current_version()
+
+    total_feed = 0
+    for v in range(1, cur + 1):
+        feed = lake.changes(spark, v - 1, v)
+        n = feed.count()
+        total_feed += n
+        if n:
+            assert feed.select("_commit_version").distinct().collect()[0][0] == v
+    assert total_feed == sum(r["rows"] for r in recs if not r.get("skipped"))
+
+    # replaying the feed into a dict last-writer-wins == lake snapshot
+    rows = lake.changes(spark, 0).collect()
+    state = {}
+    for r in sorted(rows, key=lambda r: r["_lsn"]):
+        if r["_deleted"]:
+            state.pop((r["repo"], r["path"]), None)
+        else:
+            state[(r["repo"], r["path"])] = r["content"]
+    snap = {(r["repo"], r["path"]): r["content"]
+            for r in lake.snapshot(spark).collect()}
+    assert state == snap
+
+    # compaction bumps the version but adds NOTHING to the feed
+    before = lake.changes(spark, 0).count()
+    n_compacted = lake.compact(spark)
+    assert n_compacted > 0
+    assert lake.current_version() == cur + 1
+    assert lake.changes(spark, 0).count() == before
+    assert lake.changes(spark, cur).count() == 0
