@@ -332,6 +332,31 @@ class LakeTable:
             out = out.unionByName(f)
         return out
 
+    def stream_changes(self, spark: SparkSession) -> DataFrame:
+        """The lake as a STREAMING source: tail the per-commit MOR delta
+        files (``data/delta-*``) with Spark's file-stream source, so a
+        downstream pipeline can consume this table's change feed
+        incrementally (lake → transform → lake chaining, CDC relay).
+        Emits physical rows (upserts + tombstones); pair with
+        :func:`tartare_spark.operators.apply.feed_as_changelog` to feed
+        another lake. Compaction output (``batch-*``) never matches the
+        glob, so maintenance rewrites are invisible to consumers, and
+        the file-stream checkpoint gives resume-exactly-once over the
+        feed. Requires mode='mor'."""
+        if self.mode != "mor":
+            raise ValueError("stream_changes() requires merge-on-read mode")
+        from tartare_spark.lake.schema import RAW_LAKE_SCHEMA
+        from pyspark.sql.types import StructType
+
+        phys = StructType([f for f in RAW_LAKE_SCHEMA.fields if f.name != "_bucket"])
+        # glob all the way to leaf FILES: a directory glob would run
+        # partition discovery per delta dir and reject the layout as
+        # conflicting roots
+        return (
+            spark.readStream.schema(phys)
+            .parquet(os.path.join(self.root, "data", "delta-*", "_bucket=*", "*.parquet"))
+        )
+
     def lookup(self, spark: SparkSession, repo: str, path: str) -> DataFrame:
         """Point lookup by primary key, pruned to the key's single
         bucket: reads 1/num_buckets of the table regardless of table

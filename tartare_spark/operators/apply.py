@@ -44,6 +44,23 @@ from tartare_spark.operators.merge import merge_upserts
 EVENT_COLS = ["lsn", "op", "repo", "path", "commit", "lang", "content", "ts"]
 
 
+def feed_as_changelog(feed: DataFrame) -> DataFrame:
+    """Adapt a lake change feed (physical rows from
+    ``LakeTable.changes``/``stream_changes``) back into the change-event
+    shape, so one lake's feed can drive another lake's apply — the
+    CDC-relay / lake-to-lake replication composition. Pure projection."""
+    return feed.select(
+        F.col("_lsn").alias("lsn"),
+        F.when(F.col("_deleted"), "delete").otherwise("update").alias("op"),
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        F.col("_ts").alias("ts"),
+    )
+
+
 def apply_batch(
     spark: SparkSession,
     lake: LakeTable,

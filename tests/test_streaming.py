@@ -3,6 +3,7 @@
 import time
 
 import pandas as pd
+from pyspark.sql import functions as F
 import pytest
 
 from tartare_spark.fixtures import UNIT, generate_change_events, registry_rows
@@ -113,3 +114,48 @@ def test_streaming_watermark_dedup_path(spark, unit_events_dir, tmp_path, expect
         drop_dup_within_watermark=True,
     )
     _assert_matches(spark, lake, reg, expected)
+
+
+def test_lake_to_lake_relay(spark, unit_events_dir, tmp_path):
+    """CDC relay: lake A's streaming change feed drives lake B's apply;
+    B converges to exactly A's live snapshot (deletes included), and an
+    incremental catch-up after more commits to A also converges."""
+    from tartare_spark.operators.apply import apply_batch, feed_as_changelog
+
+    src = spark.read.parquet(f"{unit_events_dir}/*.parquet")
+    lake_a = LakeTable.create(str(tmp_path / "a"), num_buckets=8)
+    from tartare_spark.operators.apply import replay_batches
+
+    replay_batches(spark, lake_a, src, num_chunks=3)
+
+    lake_b = LakeTable.create(str(tmp_path / "b"), num_buckets=8)
+
+    def relay(batch_df, batch_id):
+        apply_batch(spark, lake_b, feed_as_changelog(batch_df), batch_id)
+
+    q = (
+        lake_a.stream_changes(spark)
+        .writeStream.foreachBatch(relay)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    a = lake_a.snapshot(spark)
+    b = lake_b.snapshot(spark)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # more commits to A, then resume the relay from the same checkpoint
+    more = src.limit(200).withColumn("lsn", F.col("lsn") + 1_000_000)
+    apply_batch(spark, lake_a, more, batch_id=lake_a.last_batch_id() + 1)
+    q2 = (
+        lake_a.stream_changes(spark)
+        .writeStream.foreachBatch(relay)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    a2, b2 = lake_a.snapshot(spark), lake_b.snapshot(spark)
+    assert a2.exceptAll(b2).count() == 0 and b2.exceptAll(a2).count() == 0
