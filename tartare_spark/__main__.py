@@ -42,12 +42,11 @@ def cmd_replay(args) -> int:
     from tartare_spark.streaming.runner import run_stream
 
     spark = _spark(args)
-    import os
-
-    if args.create and not os.path.exists(os.path.join(args.lake, "_table.json")):
+    if args.create and not LakeTable.exists(args.lake):
         lake = LakeTable.create(args.lake, num_buckets=args.buckets, mode=args.mode)
     else:
         lake = LakeTable(args.lake)
+    n_before = len(lake.metrics())
     registry = None
     if args.registry:
         with open(args.registry) as f:
@@ -62,7 +61,9 @@ def cmd_replay(args) -> int:
         stateful_fence=args.fence,
         drop_dup_within_watermark=args.watermark_dedup,
     )
-    m = [x for x in lake.metrics() if not x.get("skipped")]
+    # report only THIS run's batches (metrics.jsonl is cumulative
+    # across replays into the same lake)
+    m = [x for x in lake.metrics()[n_before:] if not x.get("skipped")]
     applied = sum(x.get("rows") or 0 for x in m)
     print(
         json.dumps(
@@ -82,7 +83,10 @@ def cmd_snapshot(args) -> int:
     df = lake.snapshot(spark, version=args.version)
     if args.out:
         df.write.mode("overwrite").parquet(args.out)
-        print(json.dumps({"rows": df.count(), "out": args.out}))
+        # count the just-written parquet (footer metadata only) instead
+        # of recomputing the whole snapshot a second time
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"rows": n, "out": args.out}))
     else:
         for r in df.limit(args.limit).collect():
             print(json.dumps(r.asDict(), default=str))
@@ -129,7 +133,8 @@ def cmd_changes(args) -> int:
     df = lake.changes(spark, args.from_version, args.to_version)
     if args.out:
         df.write.mode("overwrite").parquet(args.out)
-        print(json.dumps({"rows": df.count(), "out": args.out}))
+        n = spark.read.parquet(args.out).count()
+        print(json.dumps({"rows": n, "out": args.out}))
     else:
         for r in df.limit(args.limit).collect():
             print(json.dumps(r.asDict(), default=str))

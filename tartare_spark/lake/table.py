@@ -178,7 +178,8 @@ class LakeTable:
         snapshots. At 10^10-event scale this is what keeps metadata and
         storage O(retained history) instead of O(all history).
         Driver-side metadata-only; returns the number expired."""
-        assert keep_last >= 1
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         cur = self.current_version()
         new_oldest = max(self.oldest_version(), cur - keep_last + 1)
         expired = 0
@@ -342,7 +343,13 @@ class LakeTable:
         another lake. Compaction output (``batch-*``) never matches the
         glob, so maintenance rewrites are invisible to consumers, and
         the file-stream checkpoint gives resume-exactly-once over the
-        feed. Requires mode='mor'."""
+        feed. Requires mode='mor'.
+
+        Retention interplay: ``expire_snapshots`` + ``vacuum`` reclaim
+        delta files once no retained manifest references them — a
+        consumer that lags behind the retention window loses those feed
+        rows (the standard CDC-retention contract: size ``keep_last``
+        to cover your slowest consumer)."""
         if self.mode != "mor":
             raise ValueError("stream_changes() requires merge-on-read mode")
         from tartare_spark.lake.schema import RAW_LAKE_SCHEMA
@@ -666,17 +673,27 @@ class LakeTable:
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
         except FileExistsError:
-            try:
-                with open(path) as f:
-                    existing = json.load(f)
-            except (json.JSONDecodeError, ValueError):
-                existing = None  # partial write from a crashed commit
+            # The claim exists. A LIVE winner finishes its dump in
+            # milliseconds, so retry the parse briefly before deciding
+            # the file is a dead writer's partial — without the backoff
+            # a reader racing the winner's in-flight json.dump would
+            # misread a healthy commit as crashed and overwrite it.
+            existing = None
+            for _ in range(10):
+                try:
+                    with open(path) as f:
+                        existing = json.load(f)
+                    break
+                except (json.JSONDecodeError, ValueError):
+                    time.sleep(0.2)
             if existing is not None and existing.get("batch_id") != manifest["batch_id"]:
                 raise ConcurrentCommitError(
                     f"manifest version {manifest['version']} already claimed by "
                     f"batch {existing.get('batch_id')} (ours: {manifest['batch_id']}) "
                     f"— another writer is committing to {self.root}"
                 )
+            # ours (crash-before-pointer-swap redelivery) or a dead
+            # writer's partial: reclaim atomically.
             _atomic_write_json(path, manifest)
             return
         with os.fdopen(fd, "w") as f:

@@ -179,7 +179,12 @@ def apply_batch(
     dt = time.time() - t0
     rec = {
         "batch_id": batch_id,
-        "skipped": not committed,
+        # we got past the idempotency check, so this batch_id is NEW:
+        # "skipped" is reserved for redelivered batches (early return
+        # above); a new-but-empty batch is marked "empty" instead,
+        # matching the CoW path's record shape.
+        "skipped": False,
+        "empty": not committed,
         "rows": n_keys,
         "touched_buckets": len(touched),
         "compacted_buckets": compacted,

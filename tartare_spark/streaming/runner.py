@@ -84,19 +84,28 @@ def run_stream(
     # engine's metrics log — the two views cross-check each other.
     # A listener (not recentProgress, which Spark caps at the last
     # ~numRecentProgressUpdates≈100 batches) so long replays keep
-    # EVERY batch's progress record.
-    listener = _ProgressLogger(os.path.join(lake.root, "_metrics", "progress.jsonl"))
-    spark.streams.addListener(listener)
-    query = writer.start()
+    # EVERY batch's progress record. Registered only on the managed
+    # (await_termination) path — an unmanaged caller stops the query
+    # itself and a session-lifetime listener would leak, capturing
+    # every other query on the session into this lake's file; those
+    # callers get the capped dump_progress() instead.
     if await_termination:
+        listener = _ProgressLogger(
+            os.path.join(lake.root, "_metrics", "progress.jsonl")
+        )
+        spark.streams.addListener(listener)
+        query = writer.start()
+        listener.query_id = str(query.id)  # drop other queries' events
         try:
             query.awaitTermination()
         finally:
             spark.streams.removeListener(listener)
-            # listener delivery is async — reconcile any progress events
-            # still in recentProgress that the listener hasn't flushed.
+            # listener delivery is async — reconcile anything still in
+            # recentProgress (dump_progress also dedupes against the
+            # file, so an in-flight listener write can't duplicate).
             dump_progress(query, lake, seen=listener.seen)
-    return query
+        return query
+    return writer.start()
 
 
 class _ProgressLogger(StreamingQueryListener):
@@ -107,6 +116,7 @@ class _ProgressLogger(StreamingQueryListener):
     def __init__(self, path: str):
         super().__init__()
         self.path = path
+        self.query_id: str | None = None
         self.seen: set[tuple[str, int]] = set()
 
     def onQueryStarted(self, event):
@@ -114,8 +124,17 @@ class _ProgressLogger(StreamingQueryListener):
 
     def onQueryProgress(self, event):
         p = event.progress
-        with open(self.path, "a") as f:
-            f.write(p.json + "\n")
+        # only record OUR query (several queries can share the session,
+        # e.g. a lake-to-lake relay); progress events arrive well after
+        # start() returns, so query_id is always set by then — drop
+        # anything earlier rather than misfile it.
+        if self.query_id is None or str(p.id) != self.query_id:
+            return
+        try:
+            with open(self.path, "a") as f:
+                f.write(p.json + "\n")
+        except OSError:
+            return  # lake dir vanished (e.g. test teardown) — drop
         self.seen.add((str(p.id), int(p.batchId)))
 
     def onQueryIdle(self, event):
@@ -134,13 +153,24 @@ def dump_progress(query, lake: LakeTable, seen: set | None = None) -> int:
     — the listener is the complete record."""
     import json
 
-    seen = seen or set()
+    seen = set(seen or ())
+    path = os.path.join(lake.root, "_metrics", "progress.jsonl")
+    # also dedupe against what is already ON DISK: an in-flight listener
+    # write landing between our seen-snapshot and this reconcile would
+    # otherwise be appended twice.
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                    seen.add((str(rec.get("id")), int(rec.get("batchId"))))
+                except (json.JSONDecodeError, ValueError, TypeError):
+                    continue
     recs = [
         p
         for p in (query.recentProgress or [])
         if (str(p.get("id")), int(p.get("batchId"))) not in seen
     ]
-    path = os.path.join(lake.root, "_metrics", "progress.jsonl")
     with open(path, "a") as f:
         for p in recs:
             f.write(json.dumps(p, default=str) + "\n")
