@@ -181,14 +181,19 @@ class LakeTable:
         if keep_last < 1:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         cur = self.current_version()
-        new_oldest = max(self.oldest_version(), cur - keep_last + 1)
+        prev_oldest = self.oldest_version()
+        new_oldest = max(prev_oldest, cur - keep_last + 1)
+        # advance the marker FIRST: readers then exclude the expiring
+        # versions before any manifest disappears, so a crash mid-expire
+        # leaves only unreferenced manifest files (re-expire cleans them)
+        # instead of a readable range with missing manifests.
+        _atomic_write_text(os.path.join(self.root, "_oldest"), str(new_oldest))
         expired = 0
-        for v in range(self.oldest_version(), new_oldest):
+        for v in range(prev_oldest, new_oldest):
             p = _manifest_path(self.root, v)
             if os.path.exists(p):
                 os.remove(p)
                 expired += 1
-        _atomic_write_text(os.path.join(self.root, "_oldest"), str(new_oldest))
         return expired
 
     def last_batch_id(self) -> int:
@@ -295,30 +300,37 @@ class LakeTable:
             )
         frames = []
         prev = self.manifest(from_version)
+        # carry the seen-file set forward incrementally: rebuilding it
+        # from each full manifest would be O(versions × total files) of
+        # driver work on long retained histories.
+        seen = {
+            f
+            for fl in list(prev.get("deltas", {}).values())
+            + list(prev["files"].values())
+            for f in fl
+        }
+        prev_batch = prev["batch_id"]
         for v in range(from_version + 1, to_version + 1):
             m = self.manifest(v)
-            if m["batch_id"] == prev["batch_id"]:
-                prev = m  # compaction/maintenance: no logical change
-                continue
-            seen = {
-                f
-                for fl in list(prev.get("deltas", {}).values())
-                + list(prev["files"].values())
-                for f in fl
-            }
             new_files = [
                 f
                 for fl in m.get("deltas", {}).values()
                 for f in fl
                 if f not in seen
             ]
+            seen.update(new_files)
+            for fl in m["files"].values():
+                seen.update(fl)
+            if m["batch_id"] == prev_batch:
+                prev_batch = m["batch_id"]
+                continue  # compaction/maintenance: no logical change
+            prev_batch = m["batch_id"]
             if new_files:
                 frames.append(
                     spark.read.parquet(*new_files)
                     .withColumn("_commit_version", F.lit(v))
                     .withColumn("_batch_id", F.lit(int(m["batch_id"])))
                 )
-            prev = m
         if not frames:
             from tartare_spark.lake.schema import RAW_LAKE_SCHEMA
 
@@ -356,11 +368,18 @@ class LakeTable:
         from pyspark.sql.types import StructType
 
         phys = StructType([f for f in RAW_LAKE_SCHEMA.fields if f.name != "_bucket"])
-        # glob all the way to leaf FILES: a directory glob would run
+        # Glob all the way to leaf FILES: a directory glob would run
         # partition discovery per delta dir and reject the layout as
-        # conflicting roots
+        # conflicting roots. ignoreMissingFiles lets a lagging consumer
+        # survive files reclaimed by expire+vacuum after listing
+        # (those rows are lost per the retention contract above, but
+        # the query keeps running instead of wedging on its WAL).
+        # Orphan delta dirs from a crashed pre-publish writer can also
+        # match the glob: their rows are verbatim duplicates of the
+        # redelivered batch, which the downstream LWW apply dedups.
         return (
             spark.readStream.schema(phys)
+            .option("ignoreMissingFiles", "true")
             .parquet(os.path.join(self.root, "data", "delta-*", "_bucket=*", "*.parquet"))
         )
 
@@ -692,8 +711,21 @@ class LakeTable:
                     f"batch {existing.get('batch_id')} (ours: {manifest['batch_id']}) "
                     f"— another writer is committing to {self.root}"
                 )
-            # ours (crash-before-pointer-swap redelivery) or a dead
-            # writer's partial: reclaim atomically.
+            if existing is None:
+                # Still unparseable. A RECENT claim may be a live writer
+                # stalled mid-dump (GC pause, slow storage) — refuse to
+                # overwrite it; only a STALE partial (crashed writer,
+                # e.g. streaming redelivery after restart) is reclaimed.
+                age = time.time() - os.stat(path).st_mtime
+                if age < 30:
+                    raise ConcurrentCommitError(
+                        f"manifest version {manifest['version']} has an "
+                        f"unparseable claim only {age:.1f}s old — possibly a "
+                        f"live writer mid-commit on {self.root}; retry later "
+                        "or remove the file if the writer is known dead"
+                    )
+            # ours (crash-before-pointer-swap redelivery) or a stale
+            # dead writer's partial: reclaim atomically.
             _atomic_write_json(path, manifest)
             return
         with os.fdopen(fd, "w") as f:

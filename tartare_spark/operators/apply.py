@@ -32,7 +32,6 @@ BASELINE.json:6); AQE skew-join splitting covers residual join skew.
 from __future__ import annotations
 
 import time
-from datetime import timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -194,21 +193,16 @@ def apply_batch(
         # this batch (how far behind the log's head this commit is).
         # The fixture's synthetic timestamps make this large/negative in
         # tests; on a live tail it is the consumer-lag metric.
-        # Normalize provenance: footer stats (MOR) yield tz-aware UTC
-        # datetimes while collect() (CoW) yields naive ones that
-        # .timestamp() would interpret in the driver's LOCAL tz — pin
-        # naive values to UTC so the lag metric is tz-independent.
+        # Both provenances yield a correct epoch via .timestamp():
+        # footer stats (MOR) are tz-aware UTC (absolute), and collect()
+        # (CoW) naive datetimes are DRIVER-LOCAL wall time (PySpark's
+        # TimestampType.fromInternal uses datetime.fromtimestamp), which
+        # .timestamp() interprets as local — recovering the same epoch.
+        # Do NOT pin naive values to UTC: that double-shifts on a
+        # non-UTC driver.
         "max_event_ts": max_event_ts.isoformat() if max_event_ts else None,
         "lag_seconds": (
-            round(
-                time.time()
-                - (
-                    max_event_ts.replace(tzinfo=timezone.utc)
-                    if max_event_ts.tzinfo is None
-                    else max_event_ts
-                ).timestamp(),
-                3,
-            )
+            round(time.time() - max_event_ts.timestamp(), 3)
             if max_event_ts
             else None
         ),

@@ -18,6 +18,7 @@ files (never a published manifest), which vacuum() reclaims.
 from __future__ import annotations
 
 import os
+import uuid
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -70,10 +71,14 @@ def run_stream(
     def _apply(batch_df, batch_id: int):
         apply_batch(spark, lake, batch_df, batch_id, registry=registry)
 
+    # unique per-run query name: the progress listener filters on it,
+    # which closes the start()-returns-after-first-event race an
+    # id-based filter would have (the name is known BEFORE start)
+    query_name = f"tartare-cdc-apply-{uuid.uuid4().hex[:8]}"
     writer = (
         src.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_dir)
-        .queryName("tartare-cdc-apply")
+        .queryName(query_name)
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
@@ -91,19 +96,21 @@ def run_stream(
     # callers get the capped dump_progress() instead.
     if await_termination:
         listener = _ProgressLogger(
-            os.path.join(lake.root, "_metrics", "progress.jsonl")
+            os.path.join(lake.root, "_metrics", "progress.jsonl"),
+            query_name=query_name,
         )
         spark.streams.addListener(listener)
-        query = writer.start()
-        listener.query_id = str(query.id)  # drop other queries' events
         try:
+            query = writer.start()
             query.awaitTermination()
         finally:
+            # removed even when start() itself raises — otherwise the
+            # listener leaks for the session's lifetime
             spark.streams.removeListener(listener)
-            # listener delivery is async — reconcile anything still in
-            # recentProgress (dump_progress also dedupes against the
-            # file, so an in-flight listener write can't duplicate).
-            dump_progress(query, lake, seen=listener.seen)
+        # listener delivery is async — reconcile anything still in
+        # recentProgress (dump_progress also dedupes against the
+        # file, so an in-flight listener write can't duplicate).
+        dump_progress(query, lake, seen=listener.seen)
         return query
     return writer.start()
 
@@ -113,10 +120,10 @@ class _ProgressLogger(StreamingQueryListener):
     arrives (no recentProgress cap). Tracks (queryId, batchId) pairs so
     the post-run reconcile never double-writes."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, query_name: str):
         super().__init__()
         self.path = path
-        self.query_id: str | None = None
+        self.query_name = query_name
         self.seen: set[tuple[str, int]] = set()
 
     def onQueryStarted(self, event):
@@ -125,10 +132,10 @@ class _ProgressLogger(StreamingQueryListener):
     def onQueryProgress(self, event):
         p = event.progress
         # only record OUR query (several queries can share the session,
-        # e.g. a lake-to-lake relay); progress events arrive well after
-        # start() returns, so query_id is always set by then — drop
-        # anything earlier rather than misfile it.
-        if self.query_id is None or str(p.id) != self.query_id:
+        # e.g. a lake-to-lake relay) — matched by the unique per-run
+        # query NAME, which is known before start(), so even an event
+        # delivered before start() returns is correctly attributed.
+        if p.name != self.query_name:
             return
         try:
             with open(self.path, "a") as f:

@@ -232,9 +232,15 @@ def test_concurrent_commit_guard(spark, unit_events, tmp_path):
         apply_batch(spark, lake, unit_events, batch_id=lake.last_batch_id() + 1)
     assert lake.current_version() == v
 
-    # unparseable partial (crashed commit mid-write) → reclaimed
+    # FRESH unparseable partial → conservative loud error (could be a
+    # live writer stalled mid-dump)
     with open(foreign, "w") as f:
         f.write('{"batch_id": 99')
+    with pytest.raises(ConcurrentCommitError, match="unparseable"):
+        apply_batch(spark, lake, unit_events, batch_id=lake.last_batch_id() + 1)
+
+    # STALE unparseable partial (crashed writer) → reclaimed
+    os.utime(foreign, (os.path.getmtime(foreign) - 3600,) * 2)
     res = apply_batch(spark, lake, unit_events, batch_id=lake.last_batch_id() + 1)
     assert not res["skipped"]
     assert lake.current_version() == v + 1
