@@ -126,8 +126,13 @@ def s1_scan_lake(spark, sf_dir):
 def s4_csv_source(spark, sf_dir):
     """Round-trip nation through CSV (GTFS files are CSVs-in-zip —
     [PK: tartare/core/validity_period_finder.py parses calendar CSVs])."""
+    import shutil
+
     nation = T(spark, sf_dir, "nation")
-    out = tempfile.mkdtemp(prefix="tartare_csv_")
+    # pid-unique, wiped per run: repeated driver invocations must not
+    # accumulate orphan scratch dirs in /tmp
+    out = os.path.join(tempfile.gettempdir(), f"tartare_csv_{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
     nation.write.mode("overwrite").option("header", True).csv(out)
     back = (
         spark.read.option("header", True)
@@ -147,8 +152,11 @@ def s4_csv_source(spark, sf_dir):
 def s6_publish_export(spark, sf_dir):
     """Partitioned publish + re-read (tartare platform publish analog
     [PK: tartare/core/publisher.py])."""
+    import shutil
+
     docs = T(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="tartare_pub_")
+    out = os.path.join(tempfile.gettempdir(), f"tartare_pub_{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
     docs.write.mode("overwrite").partitionBy("lang").parquet(out)
     back = spark.read.parquet(out)
     return back.groupBy("lang").agg(
@@ -788,8 +796,10 @@ def t3_tumbling_metrics(spark, sf_dir):
     """
     WITH g AS (
       SELECT user_id, ts,
+             -- >= : Spark's session_window spans [t, t+gap), so an event
+             -- EXACTLY gap later starts a new session
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                  > INTERVAL 30 MINUTE THEN 1
+                  >= INTERVAL 30 MINUTE THEN 1
                   WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
                   ELSE 0 END AS new_sess
       FROM events)

@@ -230,6 +230,8 @@ def replay_batches(
     bounds = events.select(
         F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
     ).collect()[0]
+    if bounds["lo"] is None:
+        return []  # empty feed (e.g. relaying a lake with no changes yet)
     lo, hi = int(bounds["lo"]), int(bounds["hi"])
     span = max(1, (hi - lo + 1 + num_chunks - 1) // num_chunks)
     out = []

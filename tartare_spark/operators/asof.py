@@ -33,11 +33,16 @@ def asof_join_broadcast(
     payload: list[str],
 ) -> DataFrame:
     """Attach, for each left row, the right row with the greatest
-    ``right_on`` ≤ ``left_on``. Right side must be broadcast-small."""
+    ``right_on`` ≤ ``left_on``. Right side must be broadcast-small.
+
+    Cardinality-preserving: duplicate left rows (e.g. redelivered
+    events) each keep their own output row — the max_by recovery groups
+    on a per-row id, never on the (possibly non-unique) left columns."""
     keys = left.columns
-    j = left.join(F.broadcast(right), F.col(right_on) <= F.col(left_on), "left")
+    tagged = left.withColumn("_row", F.monotonically_increasing_id())
+    j = tagged.join(F.broadcast(right), F.col(right_on) <= F.col(left_on), "left")
     best = F.max_by(F.struct(*payload), F.col(right_on)).alias("_best")
-    out = j.groupBy(*keys).agg(best)
+    out = j.groupBy("_row", *keys).agg(best)
     return out.select(*keys, *[F.col(f"_best.{c}").alias(c) for c in payload])
 
 

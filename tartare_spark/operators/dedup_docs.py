@@ -158,6 +158,7 @@ def lsh_candidates(
     """Candidate near-duplicate pairs via banded LSH: docs sharing ANY
     band of the minhash signature. Returns (id_a, id_b) with id_a < id_b,
     distinct. rows/band = k // bands."""
+    assert k % bands == 0, f"k={k} must divide evenly into bands={bands}"
     sig = minhash_signature(docs, id_col, text_col, k, shingle_n)
     r = k // bands
     band_rows = sig.select(

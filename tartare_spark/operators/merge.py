@@ -86,9 +86,17 @@ def conditional_filter(staged: DataFrame, target_raw: DataFrame) -> DataFrame:
     """S3 ``conditional_ingest`` — drop staged changes whose content sha
     equals the current live row's sha (tartare's skip-unchanged md5 fetch
     [PK: tartare/core/fetcher.py + helper.get_md5_content_file]).
-    Left-anti join on (key, sha): unchanged payloads never reach MERGE."""
+    Left-anti join on (key, sha): unchanged payloads never reach MERGE.
+    DELETE events are exempt — skip-unchanged is an upsert optimization,
+    and a delete whose placeholder content happens to sha-match the live
+    row (e.g. deleting an empty file) must still delete it."""
     cur = target_raw.filter(~F.col("_deleted")).select(
         "repo", "path", F.col("_content_sha").alias("sha")
     )
-    staged_sha = staged.withColumn("sha", F.sha2(F.coalesce("content", F.lit("")), 256))
-    return staged_sha.join(cur, ["repo", "path", "sha"], "left_anti").drop("sha")
+    upserts = staged.filter(F.col("op") != "delete")
+    deletes = staged.filter(F.col("op") == "delete")
+    staged_sha = upserts.withColumn(
+        "sha", F.sha2(F.coalesce("content", F.lit("")), 256)
+    )
+    kept = staged_sha.join(cur, ["repo", "path", "sha"], "left_anti").drop("sha")
+    return kept.unionByName(deletes)

@@ -21,7 +21,7 @@ its own LSN via a broadcast as-of join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -70,7 +70,7 @@ class SchemaRegistry:
         return df
 
     # -- as-of version tagging (J5) -------------------------------------
-    def tag_versions(self, spark: SparkSession, events: DataFrame) -> DataFrame:
+    def tag_versions(self, events: DataFrame) -> DataFrame:
         """Attach ``_schema_version`` = registry version effective at each
         event's lsn. The registry is tiny and driver-resident, so the
         as-of lookup constant-folds into a chained CASE expression over

@@ -361,3 +361,65 @@ def test_redact_pii_counts_and_tags(spark):
     assert out[2]["n_emails"] == 0 and out[2]["n_ips"] == 1
     assert "1.2.3" in out[2]["redacted"]  # versions survive
     assert out[3]["redacted"] == "nothing sensitive here"
+
+
+def test_conditional_filter_keeps_matching_sha_delete(spark):
+    """A delete whose placeholder content sha-matches the live row (e.g.
+    deleting an empty file) must NOT be skipped as 'unchanged'."""
+    from tartare_spark.operators.merge import conditional_filter
+
+    staged = spark.createDataFrame(
+        [(5, "delete", "r", "p1", "c", None, ""), (6, "update", "r", "p2", "c", None, "same")],
+        "lsn LONG, op STRING, repo STRING, path STRING, commit STRING, lang STRING, content STRING",
+    )
+    target = spark.createDataFrame(
+        [("r", "p1", "c", None, "", 1, False, None),
+         ("r", "p2", "c", None, "same", 2, False, None)],
+        "repo STRING, path STRING, commit STRING, lang STRING, content STRING, _lsn LONG, _deleted BOOLEAN, _content_sha STRING",
+    ).withColumn("_content_sha", F.sha2(F.coalesce(F.col("content"), F.lit("")), 256))
+    out = conditional_filter(staged, target).collect()
+    # the unchanged upsert is skipped; the sha-matching delete survives
+    assert [(r["op"], r["path"]) for r in out] == [("delete", "p1")]
+
+
+def test_asof_broadcast_preserves_duplicate_rows(spark):
+    from tartare_spark.operators.asof import asof_join_broadcast
+
+    left = spark.createDataFrame([(5,), (5,), (7,)], "lsn LONG")
+    right = spark.createDataFrame([(1, 0), (2, 6)], "version INT, eff LONG")
+    out = asof_join_broadcast(left, right, "lsn", "eff", ["version"]).collect()
+    assert sorted((r["lsn"], r["version"]) for r in out) == [(5, 1), (5, 1), (7, 2)]
+
+
+def test_replay_batches_empty_input_noop(spark, tmp_path):
+    from tartare_spark.lake.schema import CHANGE_EVENT_SCHEMA
+    from tartare_spark.lake.table import LakeTable
+    from tartare_spark.operators.apply import replay_batches
+
+    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=4)
+    empty = spark.createDataFrame([], CHANGE_EVENT_SCHEMA)
+    assert replay_batches(spark, lake, empty, num_chunks=3) == []
+    assert lake.current_version() == 0
+
+
+def test_tag_versions_matches_asof_broadcast(spark):
+    from tartare_spark.operators.asof import asof_join_broadcast
+    from tartare_spark.registry import SchemaRegistry
+
+    reg_rows = [
+        {"version": 1, "effective_lsn": 0, "action": "base", "column": None,
+         "renamed_from": None, "default_expr": None},
+        {"version": 2, "effective_lsn": 300, "action": "add", "column": "x",
+         "renamed_from": None, "default_expr": None},
+        {"version": 3, "effective_lsn": 700, "action": "add", "column": "y",
+         "renamed_from": None, "default_expr": None},
+    ]
+    ev = _events(spark).select((F.col("event_id") + 1).alias("lsn"))
+    via_case = SchemaRegistry(reg_rows).tag_versions(ev).select(
+        "lsn", F.col("_schema_version").alias("version"))
+    reg_df = spark.createDataFrame(
+        [(int(r["version"]), int(r["effective_lsn"])) for r in reg_rows],
+        "version INT, eff LONG")
+    via_join = asof_join_broadcast(ev, reg_df, "lsn", "eff", ["version"])
+    assert via_case.exceptAll(via_join).count() == 0
+    assert via_join.exceptAll(via_case).count() == 0
