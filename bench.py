@@ -119,6 +119,10 @@ def main() -> None:
             shutil.copy(p, p.replace(".parquet", "-redeliver.parquet"))
 
         def _replay(tag: str, fence: bool):
+            # NOTE: measured A/B — dropping shuffle partitions to 8 to
+            # shrink the state store made the section ~60% SLOWER (the
+            # in-batch dedup/write loses parallelism; the state store is
+            # not the bottleneck), so the session's partitioning stands.
             lk = LakeTable.create(os.path.join(work2, f"lake_{tag}"), num_buckets=32)
             t0 = time.time()
             run_stream(

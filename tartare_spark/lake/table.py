@@ -289,14 +289,41 @@ class LakeTable:
         so this is a pure metadata-pruned file read — cost O(changed
         rows), the table itself is never scanned. Maintenance commits
         (compaction: batch_id unchanged from parent) rewrite state
-        without changing it and are skipped."""
+        without changing it and are skipped. In CoW mode the feed falls
+        back to a snapshot diff (O(both snapshots), tombstones
+        synthesized, all rows attributed to to_version)."""
         to_version = self.current_version() if to_version is None else to_version
         if not from_version <= to_version:
             raise ValueError(f"from_version {from_version} > to_version {to_version}")
         if self.mode != "mor":
-            raise ValueError(
-                "changes() requires merge-on-read mode (CoW commits rewrite "
-                "whole buckets; diff two snapshot() reads instead)"
+            # CoW rewrites whole buckets, so per-commit files are not the
+            # change set; fall back to a snapshot DIFF — O(both
+            # snapshots), correct, with synthesized tombstones. Rows are
+            # attributed to to_version (range attribution is lost in a
+            # diff); _lsn carries each row's real commit LSN.
+            new = self.read_raw(spark, version=to_version, with_bucket=False)
+            old = self.read_raw(spark, version=from_version, with_bucket=False)
+            live_new = new.filter(~F.col("_deleted"))
+            live_old = old.filter(~F.col("_deleted"))
+            upserts = live_new.exceptAll(live_old)
+            gone = live_old.join(
+                live_new.select("repo", "path"), ["repo", "path"], "left_anti"
+            )
+            tombstones = gone.select(
+                "repo",
+                "path",
+                "commit",
+                "lang",
+                F.lit(None).cast("string").alias("content"),
+                F.col("_lsn"),
+                F.lit(True).alias("_deleted"),
+                F.lit(None).cast("string").alias("_content_sha"),
+                F.col("_ts"),
+            )
+            return (
+                upserts.unionByName(tombstones)
+                .withColumn("_commit_version", F.lit(to_version))
+                .withColumn("_batch_id", F.lit(int(self.manifest(to_version)["batch_id"])))
             )
         frames = []
         prev = self.manifest(from_version)

@@ -342,3 +342,23 @@ def test_changes_feed_matches_applied_batches(spark, unit_events, tmp_path):
     assert lake.current_version() == cur + 1
     assert lake.changes(spark, 0).count() == before
     assert lake.changes(spark, cur).count() == 0
+
+
+def test_changes_cow_snapshot_diff(spark, unit_events, tmp_path):
+    """CoW change feed (snapshot diff): replaying the diff rows over the
+    old snapshot reconstructs the new one, tombstones included."""
+    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=8, mode="cow")
+    replay_batches(spark, lake, unit_events, num_chunks=3)
+    cur = lake.current_version()
+    feed = lake.changes(spark, 1, cur)
+
+    old = {(r["repo"], r["path"]): r["content"]
+           for r in lake.snapshot(spark, version=1).collect()}
+    for r in feed.collect():
+        if r["_deleted"]:
+            old.pop((r["repo"], r["path"]), None)
+        else:
+            old[(r["repo"], r["path"])] = r["content"]
+    new = {(r["repo"], r["path"]): r["content"]
+           for r in lake.snapshot(spark, version=cur).collect()}
+    assert old == new
