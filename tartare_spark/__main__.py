@@ -141,6 +141,47 @@ def cmd_changes(args) -> int:
     return 0
 
 
+def cmd_stats(args) -> int:
+    """Driver-side table stats from the manifest + parquet footers: no
+    Spark job, O(files) metadata reads."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    lake = _lake(args)
+    m = lake.manifest()
+    buckets = {}
+    tot_rows = tot_bytes = tot_files = 0
+    for kind in ("files", "deltas"):
+        for b, fl in m.get(kind, {}).items():
+            st = buckets.setdefault(b, {"base_files": 0, "delta_files": 0, "rows": 0})
+            for p in fl:
+                md = pq.read_metadata(p)
+                st["base_files" if kind == "files" else "delta_files"] += 1
+                st["rows"] += md.num_rows
+                tot_rows += md.num_rows
+                tot_bytes += os.path.getsize(p)
+                tot_files += 1
+    chains = [s["delta_files"] for s in buckets.values()]
+    print(
+        json.dumps(
+            {
+                "version": lake.current_version(),
+                "oldest_version": lake.oldest_version(),
+                "batch_id": m["batch_id"],
+                "mode": lake.mode,
+                "num_buckets": lake.num_buckets,
+                "files": tot_files,
+                "raw_rows": tot_rows,
+                "bytes": tot_bytes,
+                "max_delta_chain": max(chains, default=0),
+                "buckets_with_deltas": sum(1 for c in chains if c),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_metrics(args) -> int:
     lake = _lake(args)
     for rec in lake.metrics()[-args.tail:]:
@@ -200,6 +241,10 @@ def build_parser() -> argparse.ArgumentParser:
     ch.add_argument("--limit", type=int, default=20)
     ch.add_argument("--out", help="write the feed as parquet instead of printing")
     ch.set_defaults(fn=cmd_changes)
+
+    st = sub.add_parser("stats", help="table stats (manifest + parquet footers, no Spark job)")
+    st.add_argument("--lake", required=True)
+    st.set_defaults(fn=cmd_stats)
 
     m = sub.add_parser("metrics", help="print per-batch metrics JSONL")
     m.add_argument("--lake", required=True)

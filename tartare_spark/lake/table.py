@@ -621,9 +621,19 @@ class LakeTable:
         if not delta_buckets:
             return 0
 
+        # cluster the rewrite by key: sorted row groups get selective
+        # parquet min/max stats on (repo, path), so later repo-filtered
+        # scans prune row groups — a read optimization paid only during
+        # maintenance, never on the apply hot path.
         resolved = self.read_raw(spark, buckets=delta_buckets)
+        clustered = resolved.repartition(
+            max(len(delta_buckets), 1), "_bucket"
+        ).sortWithinPartitions("repo", "path")
         new_files = self._write_data_files(
-            resolved, f"compact-{m['version']}-{uuid.uuid4().hex[:8]}", len(delta_buckets)
+            clustered,
+            f"compact-{m['version']}-{uuid.uuid4().hex[:8]}",
+            len(delta_buckets),
+            pre_partitioned=True,
         )
 
         prev = self.manifest()
