@@ -165,6 +165,28 @@ def main() -> None:
         queries[name] = round(time.time() - t0, 3)
         _ = n
 
+    # ---- ANN quality: recall@5 of the approximate paths vs exact ------
+    from tartare_spark.demos import SPARK as _SPARK
+
+    def _pairs(name):
+        return {
+            (r["q_id"], r["vec_id"]) for r in _SPARK[name](spark, SF_DIR).collect()
+        }
+
+    exact = _pairs("sim1_ann_bruteforce")
+    ann_recall = {
+        "ann_lsh_recall_at5": round(
+            len(exact & _pairs("sim2_ann_lsh_bucketed")) / len(exact), 4
+        )
+        if exact
+        else None,
+        "ann_ivf_recall_at5": round(
+            len(exact & _pairs("sim3_ann_ivf")) / len(exact), 4
+        )
+        if exact
+        else None,
+    }
+
     total = round(time.time() - t_total0, 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -179,6 +201,7 @@ def main() -> None:
                 "cdc_events": n_written,
                 "fence_state_equal": fence_state_equal,
                 "fence_volume_ratio": fence_volume_ratio,
+                **ann_recall,
                 "cpus": int(CPUS),
             }
         )
