@@ -1262,25 +1262,31 @@ def sim1_ann_bruteforce(spark, sf_dir):
     return brute_force_topk(vectors, queries, k=5)
 
 
-def _sim2_oracle_sql() -> str:
-    bucket = _hp_bucket_sql("v", n_planes=4)
+def _sim2_oracle_sql(n_tables: int = 2) -> str:
+    per_table = []
+    for t in range(n_tables):
+        bucket = _hp_bucket_sql("v", n_planes=4, seed=42 + t)
+        per_table.append(f"""
+  SELECT qx.q_id, qx.qv, vx.vec_id, vx.v
+  FROM (SELECT vec_id, v, {bucket} AS b FROM e WHERE vec_id >= 5) vx
+  JOIN (SELECT q_id, qv,
+               unnest([b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS b
+        FROM (SELECT vec_id AS q_id, v AS qv, {bucket} AS b0
+              FROM e WHERE vec_id < 5)) qx
+    ON vx.b = qx.b""")
+    union = "\n  UNION ALL\n".join(per_table)
     return f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
-), vx AS (
-  SELECT vec_id, v, {bucket} AS b FROM e WHERE vec_id >= 5
-), q0 AS (
-  SELECT vec_id AS q_id, v AS qv, {bucket} AS b0 FROM e WHERE vec_id < 5
-), qx AS (
-  -- multi-probe: the query's own bucket plus every Hamming-1 flip
-  SELECT q_id, qv,
-         unnest([b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS b
-  FROM q0
+), cand AS (
+{union}
+), dedup AS (
+  SELECT DISTINCT ON (q_id, vec_id) q_id, qv, vec_id, v FROM cand
 ), scored AS (
-  SELECT qx.q_id, vx.vec_id,
-         round(list_cosine_similarity(vx.v, qx.qv), 6) AS cos
-  FROM vx JOIN qx ON vx.b = qx.b
+  SELECT q_id, vec_id,
+         round(list_cosine_similarity(v, qv), 6) AS cos
+  FROM dedup
 )
 SELECT q_id, vec_id, cos, CAST(rk AS INT) AS rk FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rk
@@ -1297,7 +1303,9 @@ def sim2_ann_lsh_bucketed(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     vectors = emb.filter(F.col("vec_id") >= 5)
-    return lsh_bucketed_topk(vectors, queries, k=5, n_planes=4, multi_probe=1)
+    return lsh_bucketed_topk(
+        vectors, queries, k=5, n_planes=4, multi_probe=1, n_tables=2
+    )
 
 
 @demo(

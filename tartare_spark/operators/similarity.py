@@ -186,10 +186,12 @@ def lsh_bucketed_topk(
     k: int = 5,
     n_planes: int = 6,
     multi_probe: int = 0,
+    n_tables: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    seed: int = 42,
 ) -> DataFrame:
     """ANN: candidates restricted to the query's hyperplane bucket, then
     exact cosine top-k within it — the partition-pruned scale path.
@@ -198,19 +200,36 @@ def lsh_bucketed_topk(
     distance 1 from the query's (each single hyperplane-sign flip):
     recall rises from p^H toward coverage of the near-miss buckets at
     the cost of H+1× candidates. Only the (tiny, broadcast) query side
-    fans out — each data vector still lives in exactly ONE bucket, so
-    candidates stay duplicate-free and the index is unchanged."""
-    v = vectors.withColumn("_b", hyperplane_bucket(F.col(vec_col), n_planes))
-    q = queries.withColumn("_b", hyperplane_bucket(F.col(q_vec_col), n_planes))
-    if multi_probe:
-        assert multi_probe == 1, "only Hamming-1 probing is implemented"
-        probes = F.array(
-            F.col("_b"),
-            *[F.col("_b").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
-        )
-        q = q.withColumn("_b", F.explode(probes))
-    j = v.join(F.broadcast(q), "_b")
-    scored = j.select(
+    fans out — each data vector lives in exactly ONE bucket per table.
+
+    ``n_tables>1`` unions candidates from independent hash tables
+    (seeds ``seed..seed+n_tables-1``) — the classic recall/cost dial:
+    a true neighbour is missed only if it misses in EVERY table.
+    Candidates are deduped on (query, vector) before the exact-cosine
+    ranking, so the output contract is unchanged."""
+    tagged = []
+    for t in range(n_tables):
+        s = seed + t
+        v = vectors.withColumn("_b", hyperplane_bucket(F.col(vec_col), n_planes, seed=s))
+        q = queries.withColumn("_b", hyperplane_bucket(F.col(q_vec_col), n_planes, seed=s))
+        if multi_probe:
+            assert multi_probe == 1, "only Hamming-1 probing is implemented"
+            probes = F.array(
+                F.col("_b"),
+                *[F.col("_b").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+            )
+            q = q.withColumn("_b", F.explode(probes))
+        tagged.append(v.join(F.broadcast(q), "_b"))
+    j = tagged[0]
+    for extra in tagged[1:]:
+        j = j.unionByName(extra)
+    cand = j.select(q_id_col, q_vec_col, id_col, vec_col)
+    if n_tables > 1:
+        # a pair can surface via several tables — dedupe before ranking.
+        # (multi-probe alone can't duplicate: buckets within one table
+        # are disjoint, so a vector matches at most one probe.)
+        cand = cand.dropDuplicates([q_id_col, id_col])
+    scored = cand.select(
         F.col(q_id_col),
         F.col(id_col),
         F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("cos"),
