@@ -1665,3 +1665,37 @@ def cdc_changes_feed(spark, sf_dir):
         "repo", "path", "commit", "content", "_lsn", "_deleted",
         "_content_sha", "_commit_version",
     )
+
+
+@demo(
+    "tx7_hash_split",
+    # mirror operators/text.hash_split: u = md5('42|'||id)[:8] / 2^32,
+    # cumulative thresholds train 0.9 / val 0.05 / test 0.05
+    """
+    WITH u AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) / 4294967296.0 AS u
+      FROM documents
+    ), tagged AS (
+      SELECT doc_id, lang,
+             CASE WHEN u < 0.9 THEN 'train'
+                  WHEN u < 0.95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM u
+    )
+    SELECT split, lang, count(*) AS n, CAST(min(doc_id) AS BIGINT) AS min_id
+    FROM tagged GROUP BY split, lang
+    """,
+)
+def tx7_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment: split is a pure function
+    of (seed, id) — reproducible across runs/engines/orderings, unlike
+    RNG sampling. Zero shuffle until the verification aggregate."""
+    from tartare_spark.operators.text import hash_split
+
+    docs = T(spark, sf_dir, "documents")
+    tagged = hash_split(docs, "doc_id")
+    return tagged.groupBy("split", "lang").agg(
+        F.count("*").alias("n"), F.min("doc_id").alias("min_id")
+    )

@@ -184,6 +184,50 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic dataset splitting (train/val/test): each row's
+    split is a pure function of (seed, id), so the assignment is
+    reproducible across runs, machines, engines and orderings — the
+    production alternative to RNG sampling, whose draw depends on
+    partitioning. Adds a ``split`` column.
+
+    u = first 8 md5 hex digits of "seed|id" scaled to [0, 1); the row
+    lands in the first split whose cumulative share exceeds u. Zero
+    shuffle, codegen'd; mirrored bit-for-bit in DuckDB by the demo
+    oracle."""
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(splits.values())
+    assert abs(total - 1.0) < 1e-9, f"split shares must sum to 1, got {total}"
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / float(1 << 32)
+    )
+    expr = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        clause = F.when(u < acc, name)
+        expr = clause if expr is None else expr.when(u < acc, name)
+    expr = (
+        F.lit(names[0]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn("split", expr)
+
+
 def _normalize_kernel(s: pd.Series) -> pd.Series:
     return (
         s.fillna("")

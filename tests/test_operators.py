@@ -423,3 +423,24 @@ def test_tag_versions_matches_asof_broadcast(spark):
     via_join = asof_join_broadcast(ev, reg_df, "lsn", "eff", ["version"])
     assert via_case.exceptAll(via_join).count() == 0
     assert via_join.exceptAll(via_case).count() == 0
+
+
+def test_hash_split_deterministic_and_disjoint(spark):
+    """Split assignment is a pure function of (seed, id): identical
+    across invocations and orderings, partitions the data exactly, and
+    different seeds give a different (but internally consistent) split."""
+    from tartare_spark.operators.text import hash_split
+
+    docs = _docs(spark)
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in hash_split(docs.orderBy(F.desc("doc_id")), "doc_id").collect()}
+    assert a == b  # ordering-independent
+    assert set(a.values()) <= {"train", "val", "test"}
+    n = len(a)
+    train = sum(1 for v in a.values() if v == "train")
+    assert 0.8 * n <= train <= 0.97 * n  # ~0.9 share at this n
+
+    c = {r["doc_id"]: r["split"]
+         for r in hash_split(docs, "doc_id", seed=7).collect()}
+    assert c != a  # seed changes the draw
