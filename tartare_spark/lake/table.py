@@ -669,6 +669,15 @@ class LakeTable:
         )
         (
             part.write.option("maxRecordsPerFile", 2_000_000)
+            # bloom filters on the primary-key columns: a point lookup
+            # (or MERGE probe) skips row groups that cannot contain the
+            # key — together with bucket pruning this makes lookup cost
+            # ~one row group regardless of table size. Space cost is
+            # ~1 MB/file, noise at the 100 TB design point.
+            .option("parquet.bloom.filter.enabled#repo", "true")
+            .option("parquet.bloom.filter.enabled#path", "true")
+            .option("parquet.bloom.filter.expected.ndv#repo", "100000")
+            .option("parquet.bloom.filter.expected.ndv#path", "1000000")
             .partitionBy("_bucket")
             .parquet(out_dir)
         )
