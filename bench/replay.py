@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -58,6 +59,11 @@ def main() -> None:
     from tartare_spark.lake.table import LakeTable
     from tartare_spark.streaming.runner import run_stream
 
+    # a stale --work dir is a measurement hazard: its checkpoint marks
+    # every input file processed while LakeTable.create resets the lake,
+    # yielding a zero-batch run reported as absurd throughput — wipe it.
+    for sub in ("lake", "ckpt", "warmup"):
+        shutil.rmtree(os.path.join(args.work, sub), ignore_errors=True)
     lake = LakeTable.create(os.path.join(args.work, "lake"), num_buckets=args.buckets)
     n_events = spark.read.parquet(args.input).count()
 
@@ -72,7 +78,6 @@ def main() -> None:
         wlake = LakeTable.create(os.path.join(wdir, "lake"), num_buckets=args.buckets)
         run_stream(spark, os.path.join(wdir, "events"), wlake,
                    os.path.join(wdir, "ckpt"), max_files_per_trigger=None)
-        import shutil
         shutil.rmtree(wdir, ignore_errors=True)
 
     t0 = time.time()

@@ -35,6 +35,8 @@ SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
 LEVELS = tuple(
     int(x) for x in os.environ.get("SCALING_LEVELS", "1,4").split(",")
 )
+if len(LEVELS) != 2 or LEVELS[0] >= LEVELS[1]:
+    raise SystemExit(f"SCALING_LEVELS must be two increasing ints, got {LEVELS}")
 
 
 def build_engine_zip(out: str) -> str:
@@ -212,7 +214,7 @@ parallelism levels in separate JVMs via the production launch path
 | local[{LEVELS[0]}] (N) | {lo['events']:,} | {lo['wall_seconds']} | {lo['events_per_sec']:,} | {batch_summary(lo)} |
 | local[{LEVELS[1]}] (4N) | {hi['events']:,} | {hi['wall_seconds']} | {hi['events_per_sec']:,} | {batch_summary(hi)} |
 
-**Scaling efficiency = (T_{LEVELS[1]} / T_{LEVELS[0]}) / {LEVELS[1] // LEVELS[0]} = {eff:.3f}** (target >= 0.8).
+**Scaling efficiency = (T_{LEVELS[1]} / T_{LEVELS[0]}) / {LEVELS[1] / LEVELS[0]:g} = {eff:.3f}** (target >= 0.8).
 
 Caveats of the sandbox protocol: both levels share one box (memory
 bandwidth + parquet I/O are shared, unlike a real 4x-executor

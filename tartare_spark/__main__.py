@@ -184,7 +184,8 @@ def cmd_stats(args) -> int:
 
 def cmd_metrics(args) -> int:
     lake = _lake(args)
-    for rec in lake.metrics()[-args.tail:]:
+    # [-0:] would mean "everything"; tail<=0 means "nothing"
+    for rec in (lake.metrics()[-args.tail:] if args.tail > 0 else []):
         print(json.dumps(rec))
     return 0
 

@@ -84,7 +84,10 @@ DRIVER = FixtureSpec(n_repos=100, paths_per_repo=100, n_events=100_000)
 
 
 def _repo_weights(n_repos: int) -> list[float]:
-    """Zipf-ish skew: hottest repo ~20% of events, top-5 ~50% (FIXTURES §2)."""
+    """Zipf-ish skew: hottest repo ~20% of events, top-5 ~50% (FIXTURES
+    §2; the targets hold for n_repos >= 10). Always normalized to sum
+    to 1 — numpy's rng.choice(p=...) in the fast generator rejects
+    non-normalized weights (n_repos <= 5 used to sum to 0.5)."""
     w = [0.0] * n_repos
     w[0] = 0.20
     for i in range(1, min(5, n_repos)):
@@ -93,10 +96,11 @@ def _repo_weights(n_repos: int) -> list[float]:
     remaining = 1.0 - sum(w)
     for i in range(5, n_repos):
         w[i] = remaining / rest
-    return w
+    t = sum(w)
+    return [x / t for x in w]
 
 
-def _initial_path(repo_i: int, j: int) -> str:
+def _initial_path(j: int) -> str:
     ext = EXTS[j % len(EXTS)]
     return f"src/{j // 10}/f{j:05d}.{ext}"
 
@@ -112,8 +116,8 @@ def generate_change_events(spec: FixtureSpec = UNIT) -> dict[str, list]:
 
     # key state: repo -> {path: live?}; new paths appear over time
     known_paths: dict[str, list[str]] = {
-        r: [_initial_path(i, j) for j in range(spec.paths_per_repo)]
-        for i, r in enumerate(repos)
+        r: [_initial_path(j) for j in range(spec.paths_per_repo)]
+        for r in repos
     }
     live: dict[tuple[str, str], bool] = {}
 
@@ -123,7 +127,7 @@ def generate_change_events(spec: FixtureSpec = UNIT) -> dict[str, list]:
         make_new = rng.random() < 0.05
         if make_new:
             j = len(known_paths[repo])
-            path = _initial_path(repos.index(repo), j)
+            path = _initial_path(j)
             known_paths[repo].append(path)
         else:
             path = rng.choice(known_paths[repo])

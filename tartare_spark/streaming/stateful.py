@@ -37,7 +37,10 @@ _STATE_SCHEMA = StructType([StructField("max_lsn", LongType(), True)])
 
 def _fence(key, rows: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
     """Emit only events above the key's applied-LSN fence; advance it."""
-    prev = state.get[0] if state.exists else -1
+    # INT64_MIN floor, not -1: the lake layer explicitly supports
+    # non-positive LSN domains, and a -1 sentinel would silently drop
+    # first-delivery events with lsn <= -1 when the fence is on
+    prev = state.get[0] if state.exists else -(2**63)
     mx = prev
     for pdf in rows:
         fresh = pdf[pdf["lsn"] > prev]
