@@ -141,11 +141,23 @@ def main() -> None:
         lake_fence, dt_fence, rows_fence = _replay("fence", True)
         queries["cdc_redelivery_replay_plain"] = round(dt_plain, 3)
         queries["cdc_stateful_fence_replay"] = round(dt_fence, 3)
-        sp = lake_plain.snapshot(spark)
-        sf_ = lake_fence.snapshot(spark)
-        fence_state_equal = (
-            sp.exceptAll(sf_).count() == 0 and sf_.exceptAll(sp).count() == 0
-        )
+
+        from pyspark.sql import functions as F
+
+        def _state_sig(lk):
+            # order-insensitive multiset signature: (count, sum of row
+            # hashes) — one aggregation per side instead of two
+            # exceptAll joins; collision-resistant for a bench check
+            df = lk.snapshot(spark)
+            # pmod keeps each term < 2^31 so the ANSI-mode long sum
+            # cannot overflow at any realistic row count
+            return df.select(
+                F.count("*").alias("n"),
+                F.sum(F.pmod(F.xxhash64(*df.columns), F.lit(2**31))).alias("h"),
+            ).collect()[0]
+
+        a, b = _state_sig(lake_plain), _state_sig(lake_fence)
+        fence_state_equal = (a["n"], a["h"]) == (b["n"], b["h"])
         fence_volume_ratio = (
             round(rows_fence / rows_plain, 4) if rows_plain else None
         )

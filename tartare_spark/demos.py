@@ -1699,3 +1699,38 @@ def tx7_hash_split(spark, sf_dir):
     return tagged.groupBy("split", "lang").agg(
         F.count("*").alias("n"), F.min("doc_id").alias("min_id")
     )
+
+
+@demo(
+    "a5b_approx_quantiles",
+    # like a4b: the t-digest sketch differs across engines, so the
+    # ASSERTION is exact — exact median/p90 plus a Spark-side boolean
+    # that its own approx landed within 5%; oracle computes exact + TRUE
+    """
+    SELECT o_orderstatus,
+           CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE) AS p50_exact,
+           CAST(quantile_disc(o_totalprice, 0.9) AS DOUBLE) AS p90_exact,
+           TRUE AS within_5pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def a5b_approx_quantiles(spark, sf_dir):
+    orders = T(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("_p50x"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("_p90x"),
+        F.percentile_approx("o_totalprice", 0.5).alias("_p50a"),
+        F.percentile_approx("o_totalprice", 0.9).alias("_p90a"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)").alias("p50_exact"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)").alias("p90_exact"),
+    )
+    ok = (
+        (F.abs(F.col("_p50a") - F.col("_p50x")) / F.col("_p50x") <= 0.05)
+        & (F.abs(F.col("_p90a") - F.col("_p90x")) / F.col("_p90x") <= 0.05)
+    )
+    return agg.select(
+        "o_orderstatus",
+        F.col("p50_exact").cast("double").alias("p50_exact"),
+        F.col("p90_exact").cast("double").alias("p90_exact"),
+        ok.alias("within_5pct"),
+    )
