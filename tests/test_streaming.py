@@ -159,3 +159,33 @@ def test_lake_to_lake_relay(spark, unit_events_dir, tmp_path):
     q2.awaitTermination()
     a2, b2 = lake_a.snapshot(spark), lake_b.snapshot(spark)
     assert a2.exceptAll(b2).count() == 0 and b2.exceptAll(a2).count() == 0
+
+
+def test_progress_listener_survives_recentprogress_cap(spark, unit_events_dir, tmp_path):
+    """progress.jsonl must record EVERY micro-batch even when the run
+    has more batches than spark.sql.streaming.numRecentProgressUpdates
+    retains — the listener, not the capped recentProgress dump, is the
+    system of record."""
+    import json
+
+    key = "spark.sql.streaming.numRecentProgressUpdates"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "3")
+    try:
+        lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=8)
+        run_stream(
+            spark,
+            f"{unit_events_dir}",
+            lake,
+            str(tmp_path / "ckpt"),
+            max_files_per_trigger=2,  # many micro-batches
+        )
+        with open(f"{lake.root}/_metrics/progress.jsonl") as f:
+            progress_batches = {json.loads(l)["batchId"] for l in f}
+        applied = {m["batch_id"] for m in lake.metrics() if not m.get("skipped")}
+        assert len(applied) > 3  # the run really exceeded the cap
+        assert applied <= progress_batches, (
+            f"missing progress for batches {sorted(applied - progress_batches)}"
+        )
+    finally:
+        spark.conf.set(key, prev)
