@@ -141,6 +141,14 @@ def cmd_changes(args) -> int:
     return 0
 
 
+def cmd_rebucket(args) -> int:
+    spark = _spark(args)
+    lake = _lake(args)
+    n = lake.rebucket(spark, args.buckets)
+    print(json.dumps({"num_buckets": n, "lake_version": lake.current_version()}))
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Driver-side table stats from the manifest + parquet footers: no
     Spark job, O(files) metadata reads."""
@@ -242,6 +250,11 @@ def build_parser() -> argparse.ArgumentParser:
     ch.add_argument("--limit", type=int, default=20)
     ch.add_argument("--out", help="write the feed as parquet instead of printing")
     ch.set_defaults(fn=cmd_changes)
+
+    rb = sub.add_parser("rebucket", help="rewrite the table into a new bucket count (partition evolution)")
+    rb.add_argument("--lake", required=True)
+    rb.add_argument("--buckets", type=int, required=True)
+    rb.set_defaults(fn=cmd_rebucket)
 
     st = sub.add_parser("stats", help="table stats (manifest + parquet footers, no Spark job)")
     st.add_argument("--lake", required=True)

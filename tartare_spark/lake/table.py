@@ -96,6 +96,25 @@ class LakeTable:
         self.num_buckets: int = meta["num_buckets"]
         self.mode: str = meta.get("mode", "cow")
         self.compact_every: int = meta.get("compact_every", 8)
+        # the CURRENT manifest is authoritative for the bucket layout
+        # (rebucket() evolves it); _table.json only seeds creation.
+        try:
+            self.num_buckets = int(
+                self.manifest().get("num_buckets", self.num_buckets)
+            )
+        except FileNotFoundError:
+            pass  # mid-create; v0 manifest not written yet
+
+    def _assert_layout(self, m: dict) -> None:
+        """Writers must fail loudly if the table was re-bucketed since
+        this LakeTable was opened — a stale cached num_buckets would
+        silently mis-bucket every written row."""
+        current = int(m.get("num_buckets", self.num_buckets))
+        if current != self.num_buckets:
+            raise ConcurrentCommitError(
+                f"table bucket layout changed ({current} buckets on disk vs "
+                f"{self.num_buckets} cached) — re-open the LakeTable"
+            )
 
     # ------------------------------------------------------------------
     # creation / manifest plumbing
@@ -134,6 +153,7 @@ class LakeTable:
             "batch_id": -1,
             "parent": None,
             "schema_version": 1,
+            "num_buckets": num_buckets,
             "files": {},
             "deltas": {},
             "bucket_lsn": {},
@@ -450,6 +470,7 @@ class LakeTable:
         """
         if batch_id <= self.last_batch_id():
             return False
+        self._assert_layout(self.manifest())
 
         new_files = self._write_data_files(
             merged, f"batch-{batch_id}-{uuid.uuid4().hex[:8]}", len(touched_buckets)
@@ -491,6 +512,7 @@ class LakeTable:
         O(batch), independent of table size. Idempotent by batch_id."""
         if batch_id <= self.last_batch_id():
             return False
+        self._assert_layout(self.manifest())
 
         new_files = self._write_data_files(
             staged_phys, f"delta-{batch_id}-{uuid.uuid4().hex[:8]}", len(touched_buckets)
@@ -535,6 +557,7 @@ class LakeTable:
         """
         if batch_id <= self.last_batch_id():
             return None
+        self._assert_layout(self.manifest())
 
         import pyarrow.parquet as pq
 
@@ -612,6 +635,7 @@ class LakeTable:
         checkpoint replay are unaffected. Crash-safe: data lands before
         the manifest swap; a crash leaves only orphans for vacuum()."""
         m = self.manifest()
+        self._assert_layout(m)
         delta_buckets = sorted(
             int(b) for b, fl in m.get("deltas", {}).items() if fl
         )
@@ -652,6 +676,62 @@ class LakeTable:
             extra_stats={"compaction": True, "buckets": len(delta_buckets)},
         )
         return len(delta_buckets)
+
+    def rebucket(self, spark: SparkSession, new_num_buckets: int) -> int:
+        """Partition evolution (Iceberg bucket-spec change): rewrite the
+        table into ``new_num_buckets`` buckets — for a table that
+        outgrew (or over-provisioned) its layout. One full-table job:
+        resolve base ∪ deltas, re-hash, key-clustered rewrite, publish
+        as a maintenance commit (batch_id unchanged → invisible to
+        ``changes()``/relays; the per-bucket watermark map is REPLACED,
+        recovered from the new files' parquet footers). Old snapshots
+        still read their own files (their manifests carry their own
+        ``num_buckets``); writers opened before the rebucket fail
+        loudly via the layout guard instead of mis-bucketing rows.
+        Returns the new bucket count."""
+        if new_num_buckets == self.num_buckets:
+            return new_num_buckets
+        assert new_num_buckets >= 1
+        import pyarrow.parquet as pq
+
+        m = self.manifest()
+        self._assert_layout(m)
+        resolved = self.read_raw(spark, with_bucket=False).withColumn(
+            "_bucket", bucket_expr(new_num_buckets)
+        )
+        clustered = resolved.repartition(
+            max(new_num_buckets, 1), "_bucket"
+        ).sortWithinPartitions("repo", "path")
+        self.num_buckets = new_num_buckets  # writer + _publish use this
+        new_files = self._write_data_files(
+            clustered,
+            f"rebucket-{m['version']}-{uuid.uuid4().hex[:8]}",
+            new_num_buckets,
+            pre_partitioned=True,
+        )
+        bucket_lsn: dict[int, int] = {}
+        for b, paths in new_files.items():
+            for p in paths:
+                md = pq.read_metadata(p)
+                ci = md.schema.to_arrow_schema().get_field_index("_lsn")
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(ci).statistics
+                    if st is None or st.max is None:
+                        raise RuntimeError(f"no _lsn stats in {p}")
+                    mx = int(st.max)
+                    if b not in bucket_lsn or mx > bucket_lsn[b]:
+                        bucket_lsn[b] = mx
+        self._publish(
+            m,
+            batch_id=m["batch_id"],
+            files={str(b): sorted(fl) for b, fl in new_files.items()},
+            deltas={},
+            bucket_lsn_updates=bucket_lsn,
+            schema_version=None,
+            extra_stats={"rebucket": True, "from_buckets": int(m.get("num_buckets", 0))},
+            replace_bucket_lsn=True,
+        )
+        return new_num_buckets
 
     # -- shared write/commit plumbing ----------------------------------
     def _write_data_files(
@@ -699,15 +779,22 @@ class LakeTable:
         bucket_lsn_updates: dict[int, int],
         schema_version: int | None,
         extra_stats: dict | None,
+        replace_bucket_lsn: bool = False,
     ) -> None:
-        bucket_lsn = dict(prev["bucket_lsn"])
-        for b, lsn in bucket_lsn_updates.items():
-            bucket_lsn[str(b)] = max(int(lsn), int(bucket_lsn.get(str(b), 0)))
+        if replace_bucket_lsn:
+            # rebucket: old bucket ids are meaningless under the new
+            # layout; the updates ARE the full new watermark map
+            bucket_lsn = {str(b): int(v) for b, v in bucket_lsn_updates.items()}
+        else:
+            bucket_lsn = dict(prev["bucket_lsn"])
+            for b, lsn in bucket_lsn_updates.items():
+                bucket_lsn[str(b)] = max(int(lsn), int(bucket_lsn.get(str(b), 0)))
         manifest = {
             "version": prev["version"] + 1,
             "batch_id": batch_id,
             "parent": prev["version"],
             "schema_version": schema_version or prev["schema_version"],
+            "num_buckets": self.num_buckets,
             "files": files,
             "deltas": deltas,
             "bucket_lsn": bucket_lsn,

@@ -362,3 +362,39 @@ def test_changes_cow_snapshot_diff(spark, unit_events, tmp_path):
     new = {(r["repo"], r["path"]): r["content"]
            for r in lake.snapshot(spark, version=cur).collect()}
     assert old == new
+
+
+def test_rebucket_partition_evolution(spark, unit_events, tmp_path):
+    """rebucket() preserves state exactly, redirects lookups to the new
+    layout, keeps the change feed maintenance-silent, lets replays
+    continue on the new layout, and fails a STALE writer loudly."""
+    from tartare_spark.lake.table import ConcurrentCommitError
+
+    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=4)
+    replay_batches(spark, lake, unit_events, num_chunks=2)
+    before = {(r["repo"], r["path"]): r["content"]
+              for r in lake.snapshot(spark).collect()}
+    feed_before = lake.changes(spark, 0).count()
+    stale = LakeTable(str(tmp_path / "lake"))  # opened pre-rebucket
+
+    assert lake.rebucket(spark, 16) == 16
+    assert lake.num_buckets == 16
+    after = {(r["repo"], r["path"]): r["content"]
+             for r in lake.snapshot(spark).collect()}
+    assert after == before
+    assert lake.changes(spark, 0).count() == feed_before  # maintenance-silent
+
+    # point lookup works against the new layout
+    (repo, path) = next(iter(before))
+    got = lake.lookup(spark, repo, path).collect()
+    assert len(got) == 1 and got[0]["content"] == before[(repo, path)]
+
+    # a reader opened fresh sees the new layout; the STALE writer raises
+    assert LakeTable(str(tmp_path / "lake")).num_buckets == 16
+    with pytest.raises(ConcurrentCommitError, match="layout"):
+        apply_batch(spark, stale, unit_events.limit(50),
+                    batch_id=stale.last_batch_id() + 1)
+
+    # replay continues on the new layout and state stays referee-correct
+    replay_batches(spark, lake, unit_events, num_chunks=2, start_batch_id=99)
+    assert_state_equals_referee(spark, lake)
