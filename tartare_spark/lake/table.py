@@ -208,11 +208,22 @@ class LakeTable:
         # leaves only unreferenced manifest files (re-expire cleans them)
         # instead of a readable range with missing manifests.
         _atomic_write_text(os.path.join(self.root, "_oldest"), str(new_oldest))
+        # sweep by DIRECTORY LISTING, not range(prev_oldest, new_oldest):
+        # a crash in a PREVIOUS expire (marker advanced, removals not
+        # done) leaves orphans BELOW prev_oldest that a range-based loop
+        # would never revisit. Anything under the marker is expired.
         expired = 0
-        for v in range(prev_oldest, new_oldest):
-            p = _manifest_path(self.root, v)
-            if os.path.exists(p):
-                os.remove(p)
+        mdir = os.path.join(self.root, "_manifests")
+        for entry in os.scandir(mdir):
+            name = entry.name
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            try:
+                v = int(name[1:-5])
+            except ValueError:
+                continue
+            if v < new_oldest:
+                os.remove(entry.path)
                 expired += 1
         return expired
 
@@ -227,8 +238,9 @@ class LakeTable:
         buckets: list[int] | None = None,
         version: int | None = None,
         kind: str = "files",
+        manifest: dict | None = None,
     ) -> list[str]:
-        m = self.manifest(version)
+        m = self.manifest(version) if manifest is None else manifest
         files: list[str] = []
         want = None if buckets is None else {str(b) for b in buckets}
         for b, fl in m.get(kind, {}).items():
@@ -251,9 +263,18 @@ class LakeTable:
         ``with_bucket=False`` skips recomputing the ``_bucket`` column
         for readers that don't need it (snapshot/lookup): the MOR dedup
         packs every payload column into its max_by struct, so Catalyst
-        cannot prune the hash away after the fact — opt out up front."""
-        base = self._files(buckets, version)
-        deltas = self._files(buckets, version, kind="deltas")
+        cannot prune the hash away after the fact — opt out up front.
+
+        The bucket layout is taken from the manifest BEING READ (not the
+        instance's cached ``num_buckets``): a snapshot written before a
+        ``rebucket()`` must be re-hashed with ITS layout, and a stale
+        LakeTable opened before a rebucket must not silently mis-bucket
+        — readers get the same layout safety writers get from
+        ``_assert_layout``."""
+        m = self.manifest(version)
+        layout = int(m.get("num_buckets", self.num_buckets))
+        base = self._files(buckets, manifest=m)
+        deltas = self._files(buckets, kind="deltas", manifest=m)
         if not base and not deltas:
             from tartare_spark.lake.schema import RAW_LAKE_SCHEMA
 
@@ -263,7 +284,7 @@ class LakeTable:
         # data files); recompute it — it is a pure codegen'd hash of the key.
         df = spark.read.parquet(*(base + deltas))
         if with_bucket:
-            df = df.withColumn("_bucket", bucket_expr(self.num_buckets))
+            df = df.withColumn("_bucket", bucket_expr(layout))
         if deltas:
             from tartare_spark.operators.dedup import dedup_latest_lsn
 
@@ -436,15 +457,22 @@ class LakeTable:
         size (the CDC workload's 'current content of (repo, path)'
         query). The bucket id comes from evaluating the SAME hash
         expression the writer uses on a literal 1-row frame (constant-
-        folded; no data scan)."""
+        folded; no data scan). The layout (num_buckets) is taken from the
+        CURRENT manifest — not the instance cache — and the pruned read
+        is pinned to that same manifest version, so a stale LakeTable
+        opened before a ``rebucket()`` still resolves the right bucket
+        (and a rebucket racing between the two steps cannot skew it)."""
+        m = self.manifest()
+        layout = int(m.get("num_buckets", self.num_buckets))
         b = (
             spark.range(1)
             .select(F.lit(repo).alias("repo"), F.lit(path).alias("path"))
-            .select(bucket_expr(self.num_buckets).alias("b"))
+            .select(bucket_expr(layout).alias("b"))
             .collect()[0]["b"]
         )
         return (
-            self.read_raw(spark, buckets=[int(b)], with_bucket=False)
+            self.read_raw(spark, buckets=[int(b)], version=int(m["version"]),
+                          with_bucket=False)
             .filter((F.col("repo") == repo) & (F.col("path") == path))
             .filter(~F.col("_deleted"))
             .drop("_deleted", "_ts")
@@ -807,14 +835,25 @@ class LakeTable:
 
     def _claim_and_write_manifest(self, manifest: dict) -> None:
         """Optimistic-concurrency guard on the commit: the manifest file
-        for version N+1 is created with O_EXCL, so exactly one writer can
-        claim a version. If the file already exists:
+        for version N+1 is claimed by ``os.link``-ing a FULLY-WRITTEN
+        temp file into place — atomic AND exclusive (link fails with
+        FileExistsError if the version is taken), and unlike
+        O_EXCL-create-then-dump the published path can NEVER hold a
+        partial manifest: content is complete before the name exists.
+        A writer that stalls mid-commit therefore stalls BEFORE it has
+        any claim; when it wakes, its late ``link`` fails and it takes
+        the loser branch instead of clobbering the winner's published
+        manifest (the round-2 stale-claim hazard).
+
+        If the version is already claimed:
 
         - same ``batch_id`` → it is OUR earlier attempt that crashed
-          between manifest write and pointer swap (streaming redelivers
-          the batch with the same id); reclaim it atomically so
-          checkpoint resume stays automatic. Unparseable JSON (crash
-          mid-write) is reclaimed the same way.
+          between manifest publish and pointer swap (streaming
+          redelivers the batch with the same id); reclaim it atomically
+          (temp + rename) so checkpoint resume stays automatic. Two
+          racing reclaims of the SAME batch_id can overwrite each other,
+          but both manifests reference complete, equivalent data
+          (verbatim redelivered rows), so either winner is correct.
         - different ``batch_id`` → a live concurrent writer claimed the
           version first: raise ConcurrentCommitError instead of silently
           dropping either batch. One active writer per table is the
@@ -822,49 +861,45 @@ class LakeTable:
           per checkpoint); this guard turns a misconfigured second
           writer into a loud error."""
         path = _manifest_path(self.root, manifest["version"])
-        try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-        except FileExistsError:
-            # The claim exists. A LIVE winner finishes its dump in
-            # milliseconds, so retry the parse briefly before deciding
-            # the file is a dead writer's partial — without the backoff
-            # a reader racing the winner's in-flight json.dump would
-            # misread a healthy commit as crashed and overwrite it.
-            existing = None
-            for _ in range(10):
-                try:
-                    with open(path) as f:
-                        existing = json.load(f)
-                    break
-                except (json.JSONDecodeError, ValueError):
-                    time.sleep(0.2)
-            if existing is not None and existing.get("batch_id") != manifest["batch_id"]:
-                raise ConcurrentCommitError(
-                    f"manifest version {manifest['version']} already claimed by "
-                    f"batch {existing.get('batch_id')} (ours: {manifest['batch_id']}) "
-                    f"— another writer is committing to {self.root}"
-                )
-            if existing is None:
-                # Still unparseable. A RECENT claim may be a live writer
-                # stalled mid-dump (GC pause, slow storage) — refuse to
-                # overwrite it; only a STALE partial (crashed writer,
-                # e.g. streaming redelivery after restart) is reclaimed.
-                age = time.time() - os.stat(path).st_mtime
-                if age < 30:
-                    raise ConcurrentCommitError(
-                        f"manifest version {manifest['version']} has an "
-                        f"unparseable claim only {age:.1f}s old — possibly a "
-                        f"live writer mid-commit on {self.root}; retry later "
-                        "or remove the file if the writer is known dead"
-                    )
-            # ours (crash-before-pointer-swap redelivery) or a stale
-            # dead writer's partial: reclaim atomically.
-            _atomic_write_json(path, manifest)
-            return
-        with os.fdopen(fd, "w") as f:
+        tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
             json.dump(manifest, f)
             f.flush()
             os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+            return
+        except FileExistsError:
+            pass
+        finally:
+            os.unlink(tmp)
+        # The claim exists and — because claims are only ever created
+        # from complete temp files — is complete JSON (a parse failure
+        # can only mean storage corruption; retry briefly, then give up
+        # loudly rather than guess).
+        existing = None
+        for _ in range(5):
+            try:
+                with open(path) as f:
+                    existing = json.load(f)
+                break
+            except (json.JSONDecodeError, ValueError):
+                time.sleep(0.2)
+        if existing is None:
+            raise ConcurrentCommitError(
+                f"manifest version {manifest['version']} exists but is "
+                f"unreadable (claims are written atomically, so this is "
+                f"storage corruption, not a mid-write race) — inspect "
+                f"{path} manually"
+            )
+        if existing.get("batch_id") != manifest["batch_id"]:
+            raise ConcurrentCommitError(
+                f"manifest version {manifest['version']} already claimed by "
+                f"batch {existing.get('batch_id')} (ours: {manifest['batch_id']}) "
+                f"— another writer is committing to {self.root}"
+            )
+        # ours (crash-before-pointer-swap redelivery): reclaim atomically.
+        _atomic_write_json(path, manifest)
 
     # ------------------------------------------------------------------
     # lineage & metrics (SURVEY.md §2 W3/T7; BASELINE.json:6)

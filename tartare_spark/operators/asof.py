@@ -35,15 +35,33 @@ def asof_join_broadcast(
     """Attach, for each left row, the right row with the greatest
     ``right_on`` ≤ ``left_on``. Right side must be broadcast-small.
 
-    Cardinality-preserving: duplicate left rows (e.g. redelivered
-    events) each keep their own output row — the max_by recovery groups
-    on a per-row id, never on the (possibly non-unique) left columns."""
+    Cardinality-preserving AND deterministic under task retries:
+    duplicate left rows (e.g. redelivered events) each keep their own
+    output row, recovered WITHOUT a per-row id (the obvious
+    ``monotonically_increasing_id`` key is nondeterministic — a shuffle-
+    upstream recomputation can reassign ids and duplicate/drop rows).
+    Grouping on all left columns collapses an n-duplicate group joined
+    against m matching right rows into one row with count n·m; since
+    every duplicate matches the SAME m right rows, n = count / m
+    (m = distinct matched ``right_on`` values, or 1 for the unmatched
+    null-extension), and ``explode(sequence)`` restores the n copies.
+    Every expression is deterministic, so retries replay exactly.
+    Requires distinct ``right_on`` values on the right side (a version
+    table always has them; an as-of key seen twice on the right would
+    make count/m under-recover n)."""
     keys = left.columns
-    tagged = left.withColumn("_row", F.monotonically_increasing_id())
-    j = tagged.join(F.broadcast(right), F.col(right_on) <= F.col(left_on), "left")
-    best = F.max_by(F.struct(*payload), F.col(right_on)).alias("_best")
-    out = j.groupBy("_row", *keys).agg(best)
-    return out.select(*keys, *[F.col(f"_best.{c}").alias(c) for c in payload])
+    j = left.join(F.broadcast(right), F.col(right_on) <= F.col(left_on), "left")
+    g = j.groupBy(*keys).agg(
+        F.max_by(F.struct(*payload), F.col(right_on)).alias("_best"),
+        F.count(F.lit(1)).alias("_nm"),
+        F.count_distinct(F.col(right_on)).alias("_m"),
+    )
+    n_dups = (F.col("_nm") / F.greatest(F.col("_m"), F.lit(1))).cast("long")
+    return g.select(
+        *keys,
+        F.explode(F.sequence(F.lit(1), n_dups)).alias("_dup"),
+        *[F.col(f"_best.{c}").alias(c) for c in payload],
+    ).drop("_dup")
 
 
 def asof_join_window(

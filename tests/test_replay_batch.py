@@ -232,16 +232,21 @@ def test_concurrent_commit_guard(spark, unit_events, tmp_path):
         apply_batch(spark, lake, unit_events, batch_id=lake.last_batch_id() + 1)
     assert lake.current_version() == v
 
-    # FRESH unparseable partial → conservative loud error (could be a
-    # live writer stalled mid-dump)
+    # unparseable claim → ALWAYS a loud error: claims are published by
+    # linking a fully-written temp file into place, so a partial at the
+    # claim path can only be storage corruption (never a healthy writer
+    # mid-dump), and no age heuristic can make overwriting it safe
     with open(foreign, "w") as f:
         f.write('{"batch_id": 99')
-    with pytest.raises(ConcurrentCommitError, match="unparseable"):
+    with pytest.raises(ConcurrentCommitError, match="unreadable"):
         apply_batch(spark, lake, unit_events, batch_id=lake.last_batch_id() + 1)
 
-    # STALE unparseable partial (crashed writer) → reclaimed
-    os.utime(foreign, (os.path.getmtime(foreign) - 3600,) * 2)
-    res = apply_batch(spark, lake, unit_events, batch_id=lake.last_batch_id() + 1)
+    # our OWN crashed attempt (complete claim, same batch_id, pointer
+    # never swapped — the streaming-redelivery shape) → reclaimed
+    next_bid = lake.last_batch_id() + 1
+    with open(foreign, "w") as f:
+        json.dump({"batch_id": next_bid, "version": v + 1}, f)
+    res = apply_batch(spark, lake, unit_events, batch_id=next_bid)
     assert not res["skipped"]
     assert lake.current_version() == v + 1
 
@@ -272,6 +277,19 @@ def test_expire_snapshots_bounds_history(spark, unit_events, tmp_path):
     assert removed > 0
     assert lake.snapshot(spark).count() == live_before
     assert len(lake.lineage()) > 0
+
+    # crash-recovery sweep: a manifest orphaned BELOW the _oldest marker
+    # (crash between marker write and removals in an earlier expire) is
+    # cleaned by the next expire — the sweep lists the directory instead
+    # of trusting the [prev_oldest, new_oldest) range (round-2 ADVICE)
+    import json as _json
+    import os as _os
+
+    orphan = str(tmp_path / "lake" / "_manifests" / "v000000000000.json")
+    with open(orphan, "w") as f:
+        _json.dump({"version": 0, "batch_id": -1}, f)
+    assert lake.expire_snapshots(keep_last=2) >= 1
+    assert not _os.path.exists(orphan)
 
 
 def test_snapshot_plan_skips_bucket_hash(spark, unit_events, tmp_path):
@@ -394,6 +412,13 @@ def test_rebucket_partition_evolution(spark, unit_events, tmp_path):
     with pytest.raises(ConcurrentCommitError, match="layout"):
         apply_batch(spark, stale, unit_events.limit(50),
                     batch_id=stale.last_batch_id() + 1)
+
+    # a STALE READER (opened pre-rebucket) still resolves point lookups:
+    # bucket id + pruning both derive from the manifest being read, not
+    # the instance's cached layout (round-2 ADVICE: a stale reader used
+    # to silently report live keys as absent)
+    got_stale = stale.lookup(spark, repo, path).collect()
+    assert len(got_stale) == 1 and got_stale[0]["content"] == before[(repo, path)]
 
     # replay continues on the new layout and state stays referee-correct
     replay_batches(spark, lake, unit_events, num_chunks=2, start_batch_id=99)
