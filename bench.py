@@ -82,65 +82,85 @@ def main() -> None:
                    os.path.join(wdir, "ckpt"), max_files_per_trigger=None)
         shutil.rmtree(wdir, ignore_errors=True)
 
-        lake = LakeTable.create(os.path.join(work, "lake"), num_buckets=64)
-        t0 = time.time()
-        run_stream(
-            spark,
-            events_dir,
-            lake,
-            os.path.join(work, "ckpt"),
-            # big micro-batches (2 triggers over the 33 fixture files):
-            # per-trigger fixed cost (planning + foreachBatch roundtrip +
-            # manifest commit) is ~1 s here and amortizes to nothing at
-            # the 10^10-event design point, so the bench batches large
-            # while still exercising multi-batch streaming + checkpoints
-            max_files_per_trigger=17,
-        )
-        dt = time.time() - t0
-        queries["cdc_stream_replay"] = round(dt, 3)
+        def _timed_replay(tag: str, mfpt):
+            d = os.path.join(work, tag)
+            lk = LakeTable.create(os.path.join(d, "lake"), num_buckets=64)
+            t0 = time.time()
+            run_stream(spark, events_dir, lk, os.path.join(d, "ckpt"),
+                       max_files_per_trigger=mfpt)
+            dt = time.time() - t0
+            shutil.rmtree(d, ignore_errors=True)
+            return round(dt, 3)
+
+        # best-of-2, both runs disclosed: this host's hypervisor
+        # neighbors swing identical back-to-back runs by >1.5x (see
+        # BENCH/BASELINE.md host probe); min is the least-contended
+        # estimate of the engine's own cost.
+        # (a) multi-batch shape (2 triggers over the 33 fixture files) —
+        # comparable with BENCH_r01/r02;
+        # (b) one availableNow batch — the amortized design point: at
+        # 10^10 events per-trigger fixed cost (planning + foreachBatch
+        # roundtrip + manifest commit, ~0.6-0.9 s here) vanishes, so
+        # this is the per-event cost a large replay actually pays.
+        runs_multi = [_timed_replay(f"replay_m{i}", 17) for i in range(2)]
+        runs_big = [_timed_replay(f"replay_b{i}", None) for i in range(2)]
+        dt = min(runs_multi)
+        queries["cdc_stream_replay"] = dt
+        queries["cdc_stream_replay_bigbatch"] = min(runs_big)
         events_per_sec = round(n_written / dt, 1)
+        events_per_sec_big = round(n_written / min(runs_big), 1)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
-    # ---- T5 stateful fence under at-least-once redelivery -------------
-    # Replays a redelivery-heavy tail (every file delivered twice, the
-    # second copy in later micro-batches) with and without the
-    # applyInPandasWithState applied-LSN fence: final lake state must be
-    # IDENTICAL (the MERGE is idempotent either way); the fence's win is
-    # apply-volume reduction, reported as fence_volume_ratio.
+    # ---- redelivery fences: plain vs manifest (JVM) vs stateful (T5) --
+    # True at-least-once redelivery tail: phase 1 replays the 8-file
+    # fixture and commits; phase 2 redelivers ALL files again on the
+    # same checkpoint (the upstream-re-ships-after-outage shape). The
+    # timed section is phase 2 — what each strategy pays for a pure-
+    # redelivery batch. Final state must be IDENTICAL in all three (the
+    # MERGE is idempotent; fences only cut apply volume). Full
+    # ratio/batch-size break-even sweep: scripts/fence_breakeven.py,
+    # documented in BENCH/BASELINE.md.
     work2 = tempfile.mkdtemp(prefix="tartare_fence_")
     try:
         import glob
 
         spec2 = FixtureSpec(n_repos=200, paths_per_repo=100, n_events=60_000)
-        ev2 = os.path.join(work2, "events")
-        write_events_parquet_fast(ev2, spec2, events_per_file=60_000 // 8)
-        for p in sorted(glob.glob(os.path.join(ev2, "*.parquet"))):
-            shutil.copy(p, p.replace(".parquet", "-redeliver.parquet"))
+        ev_src = os.path.join(work2, "events_src")
+        write_events_parquet_fast(ev_src, spec2, events_per_file=60_000 // 8)
+        src_files = sorted(glob.glob(os.path.join(ev_src, "*.parquet")))
 
-        def _replay(tag: str, fence: bool):
-            # NOTE: measured A/B — dropping shuffle partitions to 8 to
-            # shrink the state store made the section ~60% SLOWER (the
-            # in-batch dedup/write loses parallelism; the state store is
-            # not the bottleneck), so the session's partitioning stands.
+        def _replay(tag: str, **fence_kw):
+            ev2 = os.path.join(work2, f"events_{tag}")
+            os.makedirs(ev2)
+            for p in src_files:
+                shutil.copy(p, ev2)
             lk = LakeTable.create(os.path.join(work2, f"lake_{tag}"), num_buckets=32)
+            ck = os.path.join(work2, f"ckpt_{tag}")
+            run_stream(spark, ev2, lk, ck, max_files_per_trigger=8, **fence_kw)
+            rows_initial = sum(m.get("rows") or 0 for m in lk.metrics())
+            for p in src_files:  # redeliver everything, later batches
+                shutil.copy(p, os.path.join(
+                    ev2, os.path.basename(p).replace(".parquet", "-redeliver.parquet")
+                ))
             t0 = time.time()
-            run_stream(
-                spark,
-                ev2,
-                lk,
-                os.path.join(work2, f"ckpt_{tag}"),
-                max_files_per_trigger=8,
-                stateful_fence=fence,
-            )
+            run_stream(spark, ev2, lk, ck, max_files_per_trigger=8, **fence_kw)
             dt = time.time() - t0
-            applied_rows = sum(m.get("rows") or 0 for m in lk.metrics())
-            return lk, dt, applied_rows
+            rows_redeliver = sum(
+                m.get("rows") or 0 for m in lk.metrics()
+            ) - rows_initial
+            return lk, dt, rows_redeliver
 
-        lake_plain, dt_plain, rows_plain = _replay("plain", False)
-        lake_fence, dt_fence, rows_fence = _replay("fence", True)
+        lake_plain, dt_plain, rows_plain = _replay("plain")
+        lake_mfence, dt_mfence, rows_mfence = _replay(
+            "mfence", manifest_fence=True
+        )
+        lake_sfence, dt_sfence, rows_sfence = _replay(
+            "sfence", stateful_fence=True
+        )
         queries["cdc_redelivery_replay_plain"] = round(dt_plain, 3)
-        queries["cdc_stateful_fence_replay"] = round(dt_fence, 3)
+        queries["cdc_redelivery_manifest_fence"] = round(dt_mfence, 3)
+        queries["cdc_stateful_fence_replay"] = round(dt_sfence, 3)
 
         from pyspark.sql import functions as F
 
@@ -156,14 +176,21 @@ def main() -> None:
                 F.sum(F.pmod(F.xxhash64(*df.columns), F.lit(2**31))).alias("h"),
             ).collect()[0]
 
-        a, b = _state_sig(lake_plain), _state_sig(lake_fence)
-        fence_state_equal = (a["n"], a["h"]) == (b["n"], b["h"])
+        sigs = [_state_sig(lk) for lk in (lake_plain, lake_mfence, lake_sfence)]
+        fence_state_equal = all(
+            (s["n"], s["h"]) == (sigs[0]["n"], sigs[0]["h"]) for s in sigs
+        )
+        fence_volume_rows = {
+            "plain": rows_plain,
+            "manifest": rows_mfence,
+            "stateful": rows_sfence,
+        }
         fence_volume_ratio = (
-            round(rows_fence / rows_plain, 4) if rows_plain else None
+            round(rows_sfence / rows_plain, 4) if rows_plain else None
         )
         if not fence_state_equal:
             print(
-                json.dumps({"error": "stateful fence changed final state"}),
+                json.dumps({"error": "a redelivery fence changed final state"}),
                 file=sys.stderr,
             )
             sys.exit(2)
@@ -211,9 +238,12 @@ def main() -> None:
                 "queries": queries,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cdc_events_per_sec": events_per_sec,
+                "cdc_events_per_sec_bigbatch": events_per_sec_big,
+                "cdc_replay_runs_sec": {"multi": runs_multi, "bigbatch": runs_big},
                 "cdc_events": n_written,
                 "fence_state_equal": fence_state_equal,
                 "fence_volume_ratio": fence_volume_ratio,
+                "fence_redelivery_rows": fence_volume_rows,
                 **ann_recall,
                 "cpus": int(CPUS),
             }

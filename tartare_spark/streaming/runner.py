@@ -41,6 +41,8 @@ def run_stream(
     watermark: str = "30 minutes",
     await_termination: bool = True,
     stateful_fence: bool = False,
+    manifest_fence: bool = False,
+    fence_lateness: int = 0,
 ):
     """Tail ``events_dir`` (parquet file stream) into ``lake``.
 
@@ -56,6 +58,14 @@ def run_stream(
     stale/duplicate events before the apply. Same trade-off as T2 —
     correctness never needs it (the MERGE is idempotent); it pays one
     extra keyed shuffle to cut apply volume under heavy redelivery.
+
+    ``manifest_fence`` is the cheap JVM-side alternative (see
+    :func:`tartare_spark.operators.apply.manifest_watermark_fence`):
+    a per-bucket watermark filter rebuilt from the lake manifest each
+    batch — no shuffle, no state store; valid for in-order binlog
+    tails (redelivery-only duplication), with ``fence_lateness`` LSN
+    slack for sources with bounded reordering. Measured break-even vs
+    the state-store fence is documented in BENCH/BASELINE.md.
     """
     reader = spark.readStream.schema(CHANGE_EVENT_SCHEMA)
     if max_files_per_trigger:
@@ -69,7 +79,11 @@ def run_stream(
         src = stateful_lsn_filter(src)
 
     def _apply(batch_df, batch_id: int):
-        apply_batch(spark, lake, batch_df, batch_id, registry=registry)
+        apply_batch(
+            spark, lake, batch_df, batch_id, registry=registry,
+            lsn_fence="manifest" if manifest_fence else None,
+            fence_lateness=fence_lateness,
+        )
 
     # unique per-run query name: the progress listener filters on it,
     # which closes the start()-returns-after-first-event race an

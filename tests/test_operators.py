@@ -27,6 +27,43 @@ def test_salted_count_equals_plain(spark):
     assert plain.exceptAll(salted).count() == 0
 
 
+def test_interval_overlap_bucketed_equals_theta(spark):
+    """J6 scale path: the bucketed equi+residual overlap join returns
+    EXACTLY the theta join's pairs, for widths smaller than, near, and
+    larger than the interval lengths (multi-bucket spans must not
+    duplicate pairs; coarse buckets must not drop any)."""
+    import random
+
+    from tartare_spark.operators.ranges import interval_overlap_bucketed
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(80):
+        s = rng.randrange(0, 1000)
+        rows.append((i, s, s + rng.randrange(0, 400)))
+    iv = spark.createDataFrame(rows, "k INT, s BIGINT, e BIGINT")
+    a, b = iv.alias("a"), iv.alias("b")
+    theta = {
+        (r["k_a"], r["k_b"])
+        for r in a.join(
+            b,
+            (F.col("a.k") < F.col("b.k"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(F.col("a.k").alias("k_a"), F.col("b.k").alias("k_b"))
+        .collect()
+    }
+    for width in (7, 100, 5000):
+        got = {
+            (r["k_a"], r["k_b"])
+            for r in interval_overlap_bucketed(
+                iv, key="k", start="s", end="e", bucket_width=width
+            ).collect()
+        }
+        assert got == theta, f"width={width}"
+
+
 def test_asof_window_equals_broadcast(spark):
     """J5: the big-big window implementation must agree with the
     broadcast theta-join implementation."""

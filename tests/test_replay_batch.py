@@ -63,6 +63,17 @@ def test_mor_compaction_preserves_state(spark, unit_events, tmp_path):
     )
     replay_batches(spark, lake, unit_events, num_chunks=9)
     assert any(m.get("compacted_buckets") for m in lake.metrics())
+    # compaction is DECOUPLED from the commit path: the threshold-
+    # tripping batch records compact_deferred (its own seconds exclude
+    # the bucket fold) and the fold reports a separate maintenance
+    # record with its own timing
+    batch_recs = [m for m in lake.metrics() if not m.get("maintenance")]
+    maint_recs = [m for m in lake.metrics() if m.get("maintenance")]
+    assert any(m.get("compact_deferred") for m in batch_recs)
+    assert maint_recs and all(
+        m["compacted_buckets"] >= 1 and m["seconds"] >= 0 for m in maint_recs
+    )
+    assert not any("compacted_buckets" in m for m in batch_recs)
     before = assert_state_equals_referee(spark, lake)
     lake.compact(spark)  # final manual compaction: all deltas folded
     assert lake.max_delta_files() == 0
@@ -362,24 +373,52 @@ def test_changes_feed_matches_applied_batches(spark, unit_events, tmp_path):
     assert lake.changes(spark, cur).count() == 0
 
 
-def test_changes_cow_snapshot_diff(spark, unit_events, tmp_path):
-    """CoW change feed (snapshot diff): replaying the diff rows over the
-    old snapshot reconstructs the new one, tombstones included."""
-    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=8, mode="cow")
-    replay_batches(spark, lake, unit_events, num_chunks=3)
-    cur = lake.current_version()
-    feed = lake.changes(spark, 1, cur)
-
+def _replay_feed_over_snapshot(spark, lake, feed, from_v, to_v):
     old = {(r["repo"], r["path"]): r["content"]
-           for r in lake.snapshot(spark, version=1).collect()}
+           for r in lake.snapshot(spark, version=from_v).collect()}
     for r in feed.collect():
         if r["_deleted"]:
             old.pop((r["repo"], r["path"]), None)
         else:
             old[(r["repo"], r["path"])] = r["content"]
     new = {(r["repo"], r["path"]): r["content"]
-           for r in lake.snapshot(spark, version=cur).collect()}
+           for r in lake.snapshot(spark, version=to_v).collect()}
     assert old == new
+
+
+def test_changes_cow_sidecars_and_diff_fallback(spark, unit_events, tmp_path):
+    """CoW change feed: served from per-commit changed-key SIDECAR files
+    (O(changed rows) — the feed's plan reads ONLY cdc-* files, never the
+    snapshots), replaying it over the old snapshot reconstructs the new
+    one; with a legacy (pre-sidecar) commit in range the feed falls back
+    to the snapshot diff and still reconstructs correctly."""
+    import json
+    import os
+
+    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=8, mode="cow")
+    replay_batches(spark, lake, unit_events, num_chunks=3)
+    cur = lake.current_version()
+
+    feed = lake.changes(spark, 1, cur)
+    # the O(changed-rows) claim, asserted on the plan's actual inputs
+    inputs = feed.inputFiles()
+    assert inputs and all(f"{os.sep}cdc-" in f for f in inputs), inputs[:3]
+    _replay_feed_over_snapshot(spark, lake, feed, 1, cur)
+    # sidecars survive vacuum (referenced by retained manifests)
+    lake.vacuum()
+    _replay_feed_over_snapshot(spark, lake, lake.changes(spark, 1, cur), 1, cur)
+
+    # strip one manifest's changelog → legacy fallback (snapshot diff)
+    mp = str(tmp_path / "lake" / "_manifests" / f"v{2:012d}.json")
+    with open(mp) as f:
+        m = json.load(f)
+    del m["changelog"]
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    lake2 = LakeTable(str(tmp_path / "lake"))
+    feed2 = lake2.changes(spark, 1, cur)
+    assert any(f"{os.sep}batch-" in f for f in feed2.inputFiles())  # diff path
+    _replay_feed_over_snapshot(spark, lake2, feed2, 1, cur)
 
 
 def test_rebucket_partition_evolution(spark, unit_events, tmp_path):

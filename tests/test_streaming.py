@@ -103,6 +103,75 @@ def test_streaming_stateful_fence_path(spark, unit_events_dir, tmp_path, expecte
     _assert_matches(spark, lake, reg, expected)
 
 
+def test_streaming_manifest_fence_path(spark, unit_events_dir, tmp_path, expected):
+    """The JVM-side per-bucket watermark fence, with the fixture's
+    documented 1000-LSN out-of-order horizon as allowed lateness,
+    yields the same final state and never applies MORE volume than the
+    unfenced replay (a 0-slack fence on this fixture would wrongly drop
+    late-but-new events — that contract lives in the docstring AND
+    here)."""
+    reg = SchemaRegistry(registry_rows(UNIT))
+    vols = {}
+    for tag, fence in (("plain", False), ("fence", True)):
+        lake = LakeTable.create(str(tmp_path / f"lake_mf_{tag}"), num_buckets=8)
+        run_stream(
+            spark, unit_events_dir, lake, str(tmp_path / f"ckpt_mf_{tag}"),
+            registry=reg, max_files_per_trigger=7, manifest_fence=fence,
+            fence_lateness=1000,
+        )
+        _assert_matches(spark, lake, reg, expected)
+        vols[tag] = sum(m.get("rows") or 0 for m in lake.metrics())
+    assert vols["fence"] <= vols["plain"]
+
+
+def test_manifest_fence_per_bucket_isolation(spark, tmp_path):
+    """The fence is per-BUCKET: a batch-2 event whose LSN is below
+    ANOTHER bucket's watermark (but new for its own) must survive; a
+    redelivered event at-or-below its OWN bucket's watermark must not
+    reach the apply."""
+    from tartare_spark.lake.table import bucket_expr
+    from tartare_spark.operators.apply import apply_batch, manifest_watermark_fence
+
+    lake = LakeTable.create(str(tmp_path / "lake_iso"), num_buckets=4)
+    ts = "2024-01-01 00:00:00"
+
+    def ev_df(rows):
+        df = spark.createDataFrame(
+            [(lsn, "update", r, p, f"c{lsn}", "py", f"body-{lsn}", ts)
+             for (lsn, r, p) in rows],
+            "lsn long, op string, repo string, path string, commit string,"
+            " lang string, content string, ts string",
+        )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    # find two keys in DIFFERENT buckets via the engine's own hash
+    probe = ev_df([(0, f"r{i}", "f.py") for i in range(16)]).select(
+        "repo", bucket_expr(4).alias("b")
+    ).collect()
+    by_bucket = {}
+    for r in probe:
+        by_bucket.setdefault(r["b"], r["repo"])
+    (ba, ka), (bb, kb) = list(by_bucket.items())[:2]
+
+    # batch 0: bucket A gets a high LSN (bucket hashes the FULL key, so
+    # only (repo, "f.py") pairs — the probed shape — are used)
+    apply_batch(spark, lake, ev_df([(100, ka, "f.py")]), batch_id=0)
+    assert int(lake.manifest()["bucket_lsn"][str(ba)]) == 100
+
+    # batch 1: new low-LSN event for bucket B + redelivery of (100, A)
+    batch2 = ev_df([(5, kb, "f.py"), (100, ka, "f.py")])
+    kept = manifest_watermark_fence(batch2.select(
+        "lsn", "op", "repo", "path", "commit", "lang", "content", "ts"
+    ), lake)
+    rows = kept.collect()
+    assert {(r["lsn"], r["repo"]) for r in rows} == {(5, kb)}
+
+    rec = apply_batch(spark, lake, batch2, batch_id=1, lsn_fence="manifest")
+    assert rec["rows"] == 1  # only the genuinely-new bucket-B event
+    snap = {(r["repo"], r["path"]) for r in lake.snapshot(spark).collect()}
+    assert (kb, "f.py") in snap and (ka, "f.py") in snap
+
+
 def test_streaming_watermark_dedup_path(spark, unit_events_dir, tmp_path, expected):
     """T2: the withWatermark + dropDuplicatesWithinWatermark path yields
     the same final state (dedup is belt-and-braces over the LWW merge)."""
