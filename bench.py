@@ -130,11 +130,22 @@ def main() -> None:
         write_events_parquet_fast(ev_src, spec2, events_per_file=60_000 // 8)
         src_files = sorted(glob.glob(os.path.join(ev_src, "*.parquet")))
 
+        def _stamp_in_order(d):
+            # Spark's file source orders by (mtime, path); same-ms mtime
+            # ties can list a later log chunk before an earlier one,
+            # which is an OUT-OF-ORDER source (outside the watermark
+            # fence's contract). A real binlog shipper delivers chunks
+            # monotonically — make the harness honor that.
+            t0 = time.time()
+            for i, f in enumerate(sorted(os.listdir(d))):
+                os.utime(os.path.join(d, f), (t0 + i, t0 + i))
+
         def _replay(tag: str, **fence_kw):
             ev2 = os.path.join(work2, f"events_{tag}")
             os.makedirs(ev2)
             for p in src_files:
                 shutil.copy(p, ev2)
+            _stamp_in_order(ev2)
             lk = LakeTable.create(os.path.join(work2, f"lake_{tag}"), num_buckets=32)
             ck = os.path.join(work2, f"ckpt_{tag}")
             run_stream(spark, ev2, lk, ck, max_files_per_trigger=8, **fence_kw)
@@ -143,6 +154,7 @@ def main() -> None:
                 shutil.copy(p, os.path.join(
                     ev2, os.path.basename(p).replace(".parquet", "-redeliver.parquet")
                 ))
+            _stamp_in_order(ev2)
             t0 = time.time()
             run_stream(spark, ev2, lk, ck, max_files_per_trigger=8, **fence_kw)
             dt = time.time() - t0
@@ -152,8 +164,13 @@ def main() -> None:
             return lk, dt, rows_redeliver
 
         lake_plain, dt_plain, rows_plain = _replay("plain")
+        # fence_lateness = the fixture's documented 1000-LSN reorder
+        # horizon (fixtures.py): a 0-slack fence would wrongly drop
+        # late-but-new events displaced across the batch boundary —
+        # the operator's contract, exercised here exactly as a real
+        # deployment would configure it.
         lake_mfence, dt_mfence, rows_mfence = _replay(
-            "mfence", manifest_fence=True
+            "mfence", manifest_fence=True, fence_lateness=1000
         )
         lake_sfence, dt_sfence, rows_sfence = _replay(
             "sfence", stateful_fence=True
@@ -214,17 +231,37 @@ def main() -> None:
         return {(r["q_id"], r["vec_id"]) for r in rows}
 
     exact = _pairs("sim1_ann_bruteforce")
+    # candidate fraction (cost proxy) of the SHIPPED configs — the full
+    # recall-vs-cost curve lives in BENCH/ANN.md (scripts/ann_curve.py)
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from tartare_spark.operators.similarity import ivf_candidates, lsh_candidates
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    q_side = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    v_side = emb.filter(F.col("vec_id") >= 5)
+    n_pairs = q_side.count() * v_side.count()
     ann_recall = {
         "ann_lsh_recall_at5": round(
             len(exact & _pairs("sim2_ann_lsh_bucketed")) / len(exact), 4
         )
         if exact
         else None,
+        "ann_lsh_cand_fraction": round(
+            lsh_candidates(v_side, q_side, n_planes=3, multi_probe=0,
+                           n_tables=8).count() / n_pairs, 4
+        ),
         "ann_ivf_recall_at5": round(
             len(exact & _pairs("sim3_ann_ivf")) / len(exact), 4
         )
         if exact
         else None,
+        "ann_ivf_cand_fraction": round(
+            ivf_candidates(v_side, q_side, n_cells=32, n_probe=12).count()
+            / n_pairs, 4
+        ),
     }
 
     total = round(time.time() - t_total0, 3)

@@ -49,17 +49,30 @@ def main() -> None:
         run_stream(spark, wdir, wl, os.path.join(work, "ckpt_w"),
                    max_files_per_trigger=8)
 
+        def _stamp_in_order(d):
+            # Spark's file source orders by (mtime, path); same-ms ties
+            # can flip chunk order, turning an in-order log into an
+            # out-of-order source (outside the watermark fence's
+            # contract). Stamp strictly increasing mtimes, as a real
+            # binlog shipper's chunks would carry.
+            t0 = time.time()
+            for i, f in enumerate(sorted(os.listdir(d))):
+                os.utime(os.path.join(d, f), (t0 + i, t0 + i))
+
         def run_one(ratio: float, variant: str, rep: int):
             tag = f"{variant}_{int(ratio * 100)}_{rep}"
             kw = {}
             if variant == "manifest":
-                kw["manifest_fence"] = True
+                # slack = the fixture's documented 1000-LSN reorder
+                # horizon; 0-slack would drop late-but-new events
+                kw = {"manifest_fence": True, "fence_lateness": 1000}
             elif variant == "stateful":
                 kw["stateful_fence"] = True
             ev2 = os.path.join(work, f"events_{tag}")
             os.makedirs(ev2)
             for p in src_files:
                 shutil.copy(p, ev2)
+            _stamp_in_order(ev2)
             lk = LakeTable.create(os.path.join(work, f"lake_{tag}"),
                                   num_buckets=32)
             ck = os.path.join(work, f"ckpt_{tag}")
@@ -71,20 +84,39 @@ def main() -> None:
                     ev2,
                     os.path.basename(p).replace(".parquet", "-re.parquet"),
                 ))
+            _stamp_in_order(ev2)
             t0 = time.time()
             run_stream(spark, ev2, lk, ck, max_files_per_trigger=8, **kw)
             dt = time.time() - t0
             rows = sum(m.get("rows") or 0 for m in lk.metrics()) - rows0
+            from pyspark.sql import functions as F
+
+            snap = lk.snapshot(spark)
+            sig = tuple(
+                snap.select(
+                    F.count("*").alias("n"),
+                    F.sum(F.pmod(F.xxhash64(*snap.columns), F.lit(2**31))).alias("h"),
+                ).collect()[0]
+            )
             shutil.rmtree(os.path.join(work, f"lake_{tag}"), ignore_errors=True)
             shutil.rmtree(ev2, ignore_errors=True)
             shutil.rmtree(ck, ignore_errors=True)
-            return dt, rows
+            return dt, rows, sig
 
         for ratio in (0.25, 0.5, 1.0):
+            ref_sig = None
             for variant in ("plain", "manifest", "stateful"):
                 best = None
                 for rep in range(2):  # best-of-2 vs hypervisor noise
-                    dt, rows = run_one(ratio, variant, rep)
+                    dt, rows, sig = run_one(ratio, variant, rep)
+                    # every variant must converge to the identical
+                    # final state — a fence that changes state would
+                    # otherwise publish a flattering-but-wrong number
+                    if ref_sig is None:
+                        ref_sig = sig
+                    assert sig == ref_sig, (
+                        f"{variant}@{ratio}: state {sig} != plain {ref_sig}"
+                    )
                     if best is None or dt < best[0]:
                         best = (dt, rows)
                 rec = {

@@ -59,6 +59,8 @@ def cmd_replay(args) -> int:
         registry=registry,
         max_files_per_trigger=args.max_files_per_trigger,
         stateful_fence=args.fence,
+        manifest_fence=args.manifest_fence,
+        fence_lateness=args.fence_lateness,
         drop_dup_within_watermark=args.watermark_dedup,
     )
     # report only THIS run's batches (metrics.jsonl is cumulative
@@ -190,6 +192,13 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_history(args) -> int:
+    lake = _lake(args)
+    for rec in lake.history():
+        print(json.dumps(rec))
+    return 0
+
+
 def cmd_metrics(args) -> int:
     lake = _lake(args)
     # [-0:] would mean "everything"; tail<=0 means "nothing"
@@ -213,6 +222,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--mode", choices=["mor", "cow"], default="mor")
     r.add_argument("--max-files-per-trigger", type=int, default=16)
     r.add_argument("--fence", action="store_true", help="stateful applied-LSN fence (T5)")
+    r.add_argument("--manifest-fence", action="store_true",
+                   help="JVM-side per-bucket watermark redelivery fence (see README)")
+    r.add_argument("--fence-lateness", type=int, default=0,
+                   help="LSN reordering slack for --manifest-fence")
     r.add_argument("--watermark-dedup", action="store_true", help="dropDuplicatesWithinWatermark on lsn (T2)")
     r.set_defaults(fn=cmd_replay)
 
@@ -264,6 +277,10 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--lake", required=True)
     m.add_argument("--tail", type=int, default=20)
     m.set_defaults(fn=cmd_metrics)
+
+    h = sub.add_parser("history", help="commit history (version, batch, wall-clock stamp, stats)")
+    h.add_argument("--lake", required=True)
+    h.set_defaults(fn=cmd_history)
     return p
 
 

@@ -1290,17 +1290,26 @@ def sim1_ann_bruteforce(spark, sf_dir):
     return brute_force_topk(vectors, queries, k=5)
 
 
-def _sim2_oracle_sql(n_tables: int = 2) -> str:
+def _sim2_oracle_sql(
+    n_tables: int = 8, n_planes: int = 3, multi_probe: int = 0
+) -> str:
     per_table = []
     for t in range(n_tables):
-        bucket = _hp_bucket_sql("v", n_planes=4, seed=42 + t)
+        bucket = _hp_bucket_sql("v", n_planes=n_planes, seed=42 + t)
+        if multi_probe:
+            probes = ", ".join(
+                ["b0"] + [f"xor(b0, {1 << p})" for p in range(n_planes)]
+            )
+            q_side = f"""(SELECT q_id, qv, unnest([{probes}]) AS b
+        FROM (SELECT vec_id AS q_id, v AS qv, {bucket} AS b0
+              FROM e WHERE vec_id < 5))"""
+        else:
+            q_side = f"""(SELECT vec_id AS q_id, v AS qv, {bucket} AS b
+        FROM e WHERE vec_id < 5)"""
         per_table.append(f"""
   SELECT qx.q_id, qx.qv, vx.vec_id, vx.v
   FROM (SELECT vec_id, v, {bucket} AS b FROM e WHERE vec_id >= 5) vx
-  JOIN (SELECT q_id, qv,
-               unnest([b0, xor(b0, 1), xor(b0, 2), xor(b0, 4), xor(b0, 8)]) AS b
-        FROM (SELECT vec_id AS q_id, v AS qv, {bucket} AS b0
-              FROM e WHERE vec_id < 5)) qx
+  JOIN {q_side} qx
     ON vx.b = qx.b""")
     union = "\n  UNION ALL\n".join(per_table)
     return f"""
@@ -1324,6 +1333,10 @@ SELECT q_id, vec_id, cos, CAST(rk AS INT) AS rk FROM (
 
 @demo("sim2_ann_lsh_bucketed", _sim2_oracle_sql())
 def sim2_ann_lsh_bucketed(spark, sf_dir):
+    """Config chosen from the measured recall-vs-cost curve
+    (BENCH/ANN.md): 8 tables x 3 planes, no multi-probe — recall@5 0.88
+    at ~0.66 candidate fraction on the near-uniform sandbox embeddings
+    (round 2's 2x4+probe config sat at 0.60)."""
     from tartare_spark.operators.similarity import lsh_bucketed_topk
 
     emb = T(spark, sf_dir, "embeddings")
@@ -1332,7 +1345,7 @@ def sim2_ann_lsh_bucketed(spark, sf_dir):
     )
     vectors = emb.filter(F.col("vec_id") >= 5)
     return lsh_bucketed_topk(
-        vectors, queries, k=5, n_planes=4, multi_probe=1, n_tables=2
+        vectors, queries, k=5, n_planes=3, multi_probe=0, n_tables=8
     )
 
 
@@ -1356,7 +1369,10 @@ def mm1_blob_metadata(spark, sf_dir):
     )
 
 
-_SIM3_SQL = """
+_SIM3_N_CELLS = 32
+_SIM3_N_PROBE = 12
+
+_SIM3_SQL = f"""
 WITH e AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
@@ -1366,7 +1382,7 @@ WITH e AS (
   SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5
 ), cents AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS cell, v AS cv
-  FROM (SELECT * FROM vecs ORDER BY vec_id ASC LIMIT 16)
+  FROM (SELECT * FROM vecs ORDER BY vec_id ASC LIMIT {_SIM3_N_CELLS})
 ), vassign AS (
   SELECT vec_id, v, cell FROM (
     SELECT vecs.vec_id, vecs.v, cents.cell,
@@ -1380,7 +1396,7 @@ WITH e AS (
            row_number() OVER (PARTITION BY qs.q_id
              ORDER BY round(list_cosine_similarity(qs.qv, cents.cv), 6) DESC,
                       cents.cell ASC) AS r
-    FROM qs, cents) WHERE r <= 4
+    FROM qs, cents) WHERE r <= {_SIM3_N_PROBE}
 ), scored AS (
   SELECT q.q_id, v.vec_id,
          round(list_cosine_similarity(v.v, q.qv), 6) AS cos
@@ -1403,7 +1419,12 @@ def sim3_ann_ivf(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     vectors = emb.filter(F.col("vec_id") >= 5)
-    return ivf_topk(vectors, queries, k=5, n_cells=16, n_probe=4)
+    # config from the measured recall-vs-cost curve (BENCH/ANN.md):
+    # 32 cells / 12 probes = recall@5 0.80 at ~0.375 candidate fraction
+    # — the cheapest >=0.8 point on this corpus (round 2's 16/4 sat at
+    # 0.60 @ 0.257)
+    return ivf_topk(vectors, queries, k=5, n_cells=_SIM3_N_CELLS,
+                    n_probe=_SIM3_N_PROBE)
 
 
 @demo(

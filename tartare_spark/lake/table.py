@@ -852,6 +852,9 @@ class LakeTable:
         if changelog is not None:
             # THIS commit's changed-key sidecar files (not cumulative)
             manifest["changelog"] = changelog
+        # wall-clock commit stamp: operational metadata only (history(),
+        # timestamp time travel) — never part of query semantics
+        manifest["committed_at"] = time.time()
         self._claim_and_write_manifest(manifest)
         _atomic_write_text(
             os.path.join(self.root, "_current"), str(manifest["version"])
@@ -928,6 +931,53 @@ class LakeTable:
     # ------------------------------------------------------------------
     # lineage & metrics (SURVEY.md §2 W3/T7; BASELINE.json:6)
     # ------------------------------------------------------------------
+    def history(self) -> list[dict]:
+        """Commit history over the retained snapshot range (Iceberg
+        ``table.history()`` parity): one record per retained manifest
+        with commit wall-clock time, batch id, and stats. Driver-side
+        metadata only."""
+        out = []
+        for v in range(self.oldest_version(), self.current_version() + 1):
+            m = self.manifest(v)
+            out.append(
+                {
+                    "version": v,
+                    "batch_id": m["batch_id"],
+                    "committed_at": m.get("committed_at"),
+                    "schema_version": m["schema_version"],
+                    "num_buckets": m.get("num_buckets"),
+                    "stats": m.get("stats", {}),
+                }
+            )
+        return out
+
+    def version_as_of(self, ts: float) -> int:
+        """Largest retained version committed at-or-before wall-clock
+        ``ts`` (Iceberg timestamp time travel). Raises if the retained
+        range starts after ``ts`` (expired) or nothing was committed
+        yet by ``ts``. Commits missing a stamp (pre-upgrade manifests)
+        are treated as committed at creation of the next stamped one,
+        i.e. they match any later ``ts``."""
+        best = None
+        for rec in self.history():
+            at = rec["committed_at"]
+            if at is None or at <= ts:
+                best = rec["version"]
+        if best is None:
+            raise ValueError(
+                f"no retained snapshot committed at or before {ts} "
+                f"(oldest retained: v{self.oldest_version()})"
+            )
+        return best
+
+    def snapshot_as_of(
+        self, spark: SparkSession, ts: float, registry: "Any | None" = None
+    ) -> DataFrame:
+        """Time travel by wall-clock timestamp: the snapshot as of the
+        last commit at-or-before ``ts``."""
+        return self.snapshot(spark, version=self.version_as_of(ts),
+                             registry=registry)
+
     def lineage(self) -> list[dict]:
         """Per-bucket applied-LSN watermark progression across snapshots."""
         out = []

@@ -85,7 +85,14 @@ def manifest_watermark_fence(
     still cut. Duplicates that slip through the slack are harmless —
     the LWW merge is idempotent; fences only cut apply volume. A source
     with UNBOUNDED reordering needs the per-key T5 fence
-    (streaming/stateful.py) or no fence at all."""
+    (streaming/stateful.py) or no fence at all.
+
+    Deployment note: delivery ORDER is part of the contract. With
+    Spark's file source, files are listed by (mtime, path) — same-ms
+    mtime ties between log chunks can flip their order and turn an
+    in-order log into an out-of-order source; ship chunks with
+    monotone mtimes (or names matching mtime order), as binlog
+    shippers do."""
     wm = {int(b): int(v) for b, v in lake.manifest()["bucket_lsn"].items()}
     if not wm:
         return ev

@@ -110,10 +110,9 @@ def embedding_near_dups(
     return scored.filter(F.col("cos") >= threshold)
 
 
-def ivf_topk(
+def ivf_candidates(
     vectors: DataFrame,
     queries: DataFrame,
-    k: int = 5,
     n_cells: int = 16,
     n_probe: int = 4,
     id_col: str = "vec_id",
@@ -121,20 +120,10 @@ def ivf_topk(
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: partition vectors into ``n_cells`` cells
-    by nearest centroid, then search each query only in its ``n_probe``
-    closest cells (exact cosine within).
-
-    Centroids are a deterministic sample of the corpus (the n_cells
-    lowest-id vectors via TakeOrdered — a k-means iteration can refine
-    them on a real cluster, but assignment/probe mechanics, the Spark
-    plan, and the recall/probe trade-off are identical). Scale shape:
-    the centroid table is tiny and BROADCAST twice (once to assign the
-    corpus — a one-time index build that would be written out
-    partitioned by cell — once to route queries); a query then touches
-    ~n_probe/n_cells of the data. All dot products are codegen'd
-    zip_with/aggregate — no Python.
-    """
+    """The IVF candidate set: each (query, vector) pair whose vector
+    lives in one of the query's ``n_probe`` closest cells. Exposed
+    separately so the recall-vs-cost dial can be measured (candidate
+    fraction = count / (|Q|·|corpus|)); :func:`ivf_topk` ranks it."""
     c0 = vectors.select(F.col(id_col), F.col(vec_col)).orderBy(F.asc(id_col)).limit(n_cells)
     # row_number window runs over the already-limited n_cells rows only
     centroids = c0.select(
@@ -166,7 +155,41 @@ def ivf_topk(
         assign(queries.select(q_id_col, q_vec_col), q_vec_col, "cell", [q_id_col], n_probe),
         q_id_col,
     )
-    j = v_cells.join(F.broadcast(q_cells), "cell")
+    return v_cells.join(F.broadcast(q_cells), "cell").select(
+        q_id_col, q_vec_col, id_col, vec_col
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition vectors into ``n_cells`` cells
+    by nearest centroid, then search each query only in its ``n_probe``
+    closest cells (exact cosine within).
+
+    Centroids are a deterministic sample of the corpus (the n_cells
+    lowest-id vectors via TakeOrdered — a k-means iteration can refine
+    them on a real cluster, but assignment/probe mechanics, the Spark
+    plan, and the recall/probe trade-off are identical). Scale shape:
+    the centroid table is tiny and BROADCAST twice (once to assign the
+    corpus — a one-time index build that would be written out
+    partitioned by cell — once to route queries); a query then touches
+    ~n_probe/n_cells of the data. All dot products are codegen'd
+    zip_with/aggregate — no Python. Measured recall-vs-cost curve (this
+    corpus's near-uniform embeddings are the hard case): BENCH/ANN.md.
+    """
+    j = ivf_candidates(
+        vectors, queries, n_cells=n_cells, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col, q_id_col=q_id_col, q_vec_col=q_vec_col,
+    )
     scored = j.select(
         F.col(q_id_col),
         F.col(id_col),
@@ -178,6 +201,47 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select(q_id_col, id_col, "cos", "rk")
     )
+
+
+def lsh_candidates(
+    vectors: DataFrame,
+    queries: DataFrame,
+    n_planes: int = 6,
+    multi_probe: int = 0,
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """The sign-LSH candidate set (deduped (query, vector) pairs across
+    tables/probes). Exposed so the recall-vs-cost dial can be measured
+    (candidate fraction = count / (|Q|·|corpus|));
+    :func:`lsh_bucketed_topk` ranks it."""
+    tagged = []
+    for t in range(n_tables):
+        s = seed + t
+        v = vectors.withColumn("_b", hyperplane_bucket(F.col(vec_col), n_planes, seed=s))
+        q = queries.withColumn("_b", hyperplane_bucket(F.col(q_vec_col), n_planes, seed=s))
+        if multi_probe:
+            assert multi_probe == 1, "only Hamming-1 probing is implemented"
+            probes = F.array(
+                F.col("_b"),
+                *[F.col("_b").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+            )
+            q = q.withColumn("_b", F.explode(probes))
+        tagged.append(v.join(F.broadcast(q), "_b"))
+    j = tagged[0]
+    for extra in tagged[1:]:
+        j = j.unionByName(extra)
+    cand = j.select(q_id_col, q_vec_col, id_col, vec_col)
+    if n_tables > 1:
+        # a pair can surface via several tables — dedupe before ranking.
+        # (multi-probe alone can't duplicate: buckets within one table
+        # are disjoint, so a vector matches at most one probe.)
+        cand = cand.dropDuplicates([q_id_col, id_col])
+    return cand
 
 
 def lsh_bucketed_topk(
@@ -206,29 +270,13 @@ def lsh_bucketed_topk(
     (seeds ``seed..seed+n_tables-1``) — the classic recall/cost dial:
     a true neighbour is missed only if it misses in EVERY table.
     Candidates are deduped on (query, vector) before the exact-cosine
-    ranking, so the output contract is unchanged."""
-    tagged = []
-    for t in range(n_tables):
-        s = seed + t
-        v = vectors.withColumn("_b", hyperplane_bucket(F.col(vec_col), n_planes, seed=s))
-        q = queries.withColumn("_b", hyperplane_bucket(F.col(q_vec_col), n_planes, seed=s))
-        if multi_probe:
-            assert multi_probe == 1, "only Hamming-1 probing is implemented"
-            probes = F.array(
-                F.col("_b"),
-                *[F.col("_b").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
-            )
-            q = q.withColumn("_b", F.explode(probes))
-        tagged.append(v.join(F.broadcast(q), "_b"))
-    j = tagged[0]
-    for extra in tagged[1:]:
-        j = j.unionByName(extra)
-    cand = j.select(q_id_col, q_vec_col, id_col, vec_col)
-    if n_tables > 1:
-        # a pair can surface via several tables — dedupe before ranking.
-        # (multi-probe alone can't duplicate: buckets within one table
-        # are disjoint, so a vector matches at most one probe.)
-        cand = cand.dropDuplicates([q_id_col, id_col])
+    ranking, so the output contract is unchanged. Measured
+    recall-vs-cost curve on the sandbox corpus: BENCH/ANN.md."""
+    cand = lsh_candidates(
+        vectors, queries, n_planes=n_planes, multi_probe=multi_probe,
+        n_tables=n_tables, id_col=id_col, vec_col=vec_col,
+        q_id_col=q_id_col, q_vec_col=q_vec_col, seed=seed,
+    )
     scored = cand.select(
         F.col(q_id_col),
         F.col(id_col),

@@ -58,6 +58,11 @@ def test_cli_end_to_end(spark, unit_events_dir, tmp_path, capsys):
     ch = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
     assert rc == 0 and len(ch) == 2 and "_commit_version" in ch[0]
 
+    rc = main(["history", "--lake", lake_dir])
+    hist = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    assert rc == 0 and hist[-1]["version"] == LakeTable(lake_dir).current_version()
+    assert hist[-1]["committed_at"] is not None
+
     rc = main(["stats", "--lake", lake_dir])
     stt = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and stt["files"] > 0 and stt["raw_rows"] > 0

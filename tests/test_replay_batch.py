@@ -421,6 +421,37 @@ def test_changes_cow_sidecars_and_diff_fallback(spark, unit_events, tmp_path):
     _replay_feed_over_snapshot(spark, lake2, feed2, 1, cur)
 
 
+def test_history_and_timestamp_time_travel(spark, unit_events, tmp_path):
+    """history() exposes per-commit wall-clock stamps; snapshot_as_of
+    resolves a timestamp to the last commit at-or-before it (Iceberg
+    timestamp time-travel parity)."""
+    import time as _time
+
+    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=8)
+    replay_batches(spark, lake, unit_events, num_chunks=2)
+    mid_rows = lake.snapshot(spark).count()
+    mid_ts = _time.time()
+    _time.sleep(0.05)
+    replay_batches(spark, lake, unit_events, num_chunks=2, start_batch_id=10)
+
+    hist = lake.history()
+    assert [h["version"] for h in hist] == list(range(lake.current_version() + 1))
+    assert all(h["committed_at"] is not None for h in hist if h["version"] > 0)
+    stamps = [h["committed_at"] for h in hist if h["committed_at"]]
+    assert stamps == sorted(stamps)
+
+    v_mid = lake.version_as_of(mid_ts)
+    assert v_mid < lake.current_version()
+    assert lake.snapshot_as_of(spark, mid_ts).count() == mid_rows
+    # as-of "now" = current snapshot; before creation = loud error
+    assert lake.version_as_of(_time.time()) == lake.current_version()
+    with pytest.raises(ValueError, match="no retained snapshot"):
+        # v0 has no stamp (treated as matching any ts) — so probe the
+        # error path via an expired range instead
+        lake.expire_snapshots(keep_last=1)
+        lake.version_as_of(0.0)
+
+
 def test_rebucket_partition_evolution(spark, unit_events, tmp_path):
     """rebucket() preserves state exactly, redirects lookups to the new
     layout, keeps the change feed maintenance-silent, lets replays
