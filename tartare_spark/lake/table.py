@@ -270,28 +270,59 @@ class LakeTable:
         ``rebucket()`` must be re-hashed with ITS layout, and a stale
         LakeTable opened before a rebucket must not silently mis-bucket
         — readers get the same layout safety writers get from
-        ``_assert_layout``."""
+        ``_assert_layout``.
+
+        LWW resolution is PER-BUCKET-PRUNED: only buckets that actually
+        hold delta files go through the max-LSN dedup; clean buckets
+        (the overwhelming majority between compactions at scale — e.g.
+        1 % dirty on a 100 TB table) are scanned straight through with
+        no shuffle at all. A point lookup whose bucket is clean is a
+        pure pruned scan."""
         m = self.manifest(version)
         layout = int(m.get("num_buckets", self.num_buckets))
-        base = self._files(buckets, manifest=m)
-        deltas = self._files(buckets, kind="deltas", manifest=m)
-        if not base and not deltas:
+        dirty = {b for b, fl in m.get("deltas", {}).items() if fl}
+        want = None if buckets is None else [int(b) for b in buckets]
+        dirty_want = [int(b) for b in dirty] if want is None else [
+            b for b in want if str(b) in dirty
+        ]
+        clean_want = (
+            [int(b) for b in m.get("files", {}) if b not in dirty]
+            if want is None
+            else [b for b in want if str(b) not in dirty]
+        )
+        clean_files = self._files(clean_want, manifest=m)
+        dirty_files = self._files(dirty_want, manifest=m) + self._files(
+            dirty_want, kind="deltas", manifest=m
+        )
+        if not clean_files and not dirty_files:
             from tartare_spark.lake.schema import RAW_LAKE_SCHEMA
 
             df = spark.createDataFrame([], RAW_LAKE_SCHEMA)
             return df if with_bucket else df.drop("_bucket")
-        # ``_bucket`` is a write-side directory partition (dropped from the
-        # data files); recompute it — it is a pure codegen'd hash of the key.
-        df = spark.read.parquet(*(base + deltas))
-        if with_bucket:
-            df = df.withColumn("_bucket", bucket_expr(layout))
-        if deltas:
+        frames = []
+        if dirty_files:
             from tartare_spark.operators.dedup import dedup_latest_lsn
 
             # base and delta rows share the physical schema; duplicate
             # (key, _lsn) rows across segments are verbatim copies, so
-            # max_by is exact. Partial agg combines map-side → one shuffle.
-            df = dedup_latest_lsn(df, keys=["repo", "path"], order_col="_lsn")
+            # max_by is exact. Partial agg combines map-side → one shuffle
+            # over the DIRTY buckets' rows only.
+            frames.append(
+                dedup_latest_lsn(
+                    spark.read.parquet(*dirty_files),
+                    keys=["repo", "path"],
+                    order_col="_lsn",
+                )
+            )
+        if clean_files:
+            frames.append(spark.read.parquet(*clean_files))
+        df = frames[0]
+        for extra in frames[1:]:
+            df = df.unionByName(extra)
+        if with_bucket:
+            # ``_bucket`` is a write-side directory partition (dropped
+            # from the data files); recompute it — a codegen'd key hash.
+            df = df.withColumn("_bucket", bucket_expr(layout))
         return df
 
     def snapshot(

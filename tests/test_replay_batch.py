@@ -421,6 +421,94 @@ def test_changes_cow_sidecars_and_diff_fallback(spark, unit_events, tmp_path):
     _replay_feed_over_snapshot(spark, lake2, feed2, 1, cur)
 
 
+def test_read_resolution_pruned_to_dirty_buckets(spark, unit_events, tmp_path):
+    """MOR read-time LWW resolution must shuffle ONLY buckets that hold
+    delta files: a point lookup on a compacted (clean) bucket plans a
+    pure pruned scan with no aggregate; a dirty bucket's lookup keeps
+    the max-LSN dedup. State stays referee-exact either way."""
+    import io
+    from contextlib import redirect_stdout
+
+    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=4,
+                            compact_every=10_000)
+    replay_batches(spark, lake, unit_events, num_chunks=3)
+    dirty = [int(b) for b, fl in lake.manifest()["deltas"].items() if fl]
+    assert len(dirty) == 4  # every bucket delta'd, none compacted yet
+
+    # compact ONE bucket → it becomes clean, the others stay dirty
+    assert lake.compact(spark, buckets=[dirty[0]]) == 1
+    m = lake.manifest()
+    assert not m["deltas"][str(dirty[0])]
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain()
+        return buf.getvalue()
+
+    clean_plan = plan_of(lake.read_raw(spark, buckets=[dirty[0]]))
+    dirty_plan = plan_of(lake.read_raw(spark, buckets=[dirty[1]]))
+    assert "Aggregate" not in clean_plan and "Exchange" not in clean_plan
+    assert "max_by" in dirty_plan
+
+    # mixed read (all buckets) stays exact vs the referee
+    assert_state_equals_referee(spark, lake)
+
+
+def test_bloom_filters_on_base_not_deltas(spark, unit_events, tmp_path):
+    """Perf contract from round 3: the apply hot path (delta writes)
+    skips parquet bloom-filter builds; maintenance (compaction → base
+    files) pays them. Pinned via the writer toggle's size footprint
+    (blooms at the configured ndv are ~10^5 bytes/file; pyarrow does
+    not expose bloom offsets, so size margin is the observable)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from tartare_spark.lake.table import LakeTable, bucket_expr
+
+    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=1)
+    df = (
+        spark.range(2000)
+        .select(
+            F.concat(F.lit("r"), F.col("id")).alias("repo"),
+            F.lit("f.py").alias("path"),
+            F.lit("x").alias("content"),
+            F.col("id").alias("_lsn"),
+        )
+        .withColumn("_bucket", bucket_expr(1) * 0)
+    )
+
+    def total_size(files):
+        return sum(os.path.getsize(p) for fl in files.values() for p in fl)
+
+    plain = total_size(lake._write_data_files(df, "probe-plain", 1, blooms=False))
+    bloomed = total_size(lake._write_data_files(df, "probe-bloom", 1, blooms=True))
+    assert bloomed > plain + 50_000, (plain, bloomed)
+
+    # wiring: a replayed MOR lake's delta files are the bloom-free kind;
+    # compaction rewrites them into bloomed base files
+    lake2 = LakeTable.create(str(tmp_path / "lake2"), num_buckets=2)
+    replay_batches(spark, lake2, unit_events, num_chunks=2)
+    m = lake2.manifest()
+    delta_files = [f for fl in m["deltas"].values() for f in fl]
+    assert delta_files
+    lake2.compact(spark)
+    m2 = lake2.manifest()
+    base_files = [f for fl in m2["files"].values() for f in fl]
+    base_rows = sum(
+        __import__("pyarrow.parquet", fromlist=["x"]).read_metadata(f).num_rows
+        for f in base_files
+    )
+    delta_rows = sum(
+        __import__("pyarrow.parquet", fromlist=["x"]).read_metadata(f).num_rows
+        for f in delta_files
+    )
+    # same logical rows, but the bloomed base carries the filter bytes
+    assert base_rows <= delta_rows  # compaction dedups (<=), never grows
+    assert sum(os.path.getsize(f) for f in base_files) > 2 * 50_000
+
+
 def test_history_and_timestamp_time_travel(spark, unit_events, tmp_path):
     """history() exposes per-commit wall-clock stamps; snapshot_as_of
     resolves a timestamp to the last commit at-or-before it (Iceberg
