@@ -124,35 +124,18 @@ def ivf_candidates(
     lives in one of the query's ``n_probe`` closest cells. Exposed
     separately so the recall-vs-cost dial can be measured (candidate
     fraction = count / (|Q|·|corpus|)); :func:`ivf_topk` ranks it."""
-    c0 = vectors.select(F.col(id_col), F.col(vec_col)).orderBy(F.asc(id_col)).limit(n_cells)
-    # row_number window runs over the already-limited n_cells rows only
-    centroids = c0.select(
-        (F.row_number().over(Window.orderBy(F.asc(id_col))) - 1).alias("cell"),
-        F.col(vec_col).alias("c_vec"),
-    )
-
-    def assign(df, vcol, out, keep, top):
-        # assignment similarity is rounded to 6dp before ranking (ties
-        # broken by cell id) so the cell assignment is reproducible
-        # bit-for-bit across engines — float ulps can't flip a cell.
-        scored = df.crossJoin(F.broadcast(centroids)).select(
-            *keep,
-            F.col("cell"),
-            F.round(cosine(F.col(vcol), F.col("c_vec")), 6).alias("_cs"),
-        )
-        ww = Window.partitionBy(*keep).orderBy(F.desc("_cs"), F.asc("cell"))
-        return (
-            scored.withColumn("_r", F.row_number().over(ww))
-            .filter(F.col("_r") <= top)
-            .select(*keep, F.col("cell").alias(out))
-        )
-
+    centroids = _centroids(vectors, n_cells, id_col, vec_col)
     v_cells = vectors.join(
-        assign(vectors.select(id_col, vec_col), vec_col, "cell", [id_col], 1),
+        _assign_cells(
+            vectors.select(id_col, vec_col), centroids, vec_col, [id_col], 1
+        ),
         id_col,
     )
     q_cells = queries.join(
-        assign(queries.select(q_id_col, q_vec_col), q_vec_col, "cell", [q_id_col], n_probe),
+        _assign_cells(
+            queries.select(q_id_col, q_vec_col), centroids, q_vec_col,
+            [q_id_col], n_probe,
+        ),
         q_id_col,
     )
     return v_cells.join(F.broadcast(q_cells), "cell").select(
@@ -190,6 +173,110 @@ def ivf_topk(
         vectors, queries, n_cells=n_cells, n_probe=n_probe,
         id_col=id_col, vec_col=vec_col, q_id_col=q_id_col, q_vec_col=q_vec_col,
     )
+    scored = j.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(q_vec_col)), 6).alias("cos"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(q_id_col, id_col, "cos", "rk")
+    )
+
+
+def _centroids(vectors, n_cells, id_col, vec_col):
+    c0 = (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.asc(id_col))
+        .limit(n_cells)
+    )
+    # row_number window runs over the already-limited n_cells rows only
+    return c0.select(
+        (F.row_number().over(Window.orderBy(F.asc(id_col))) - 1).alias("cell"),
+        F.col(vec_col).alias("c_vec"),
+    )
+
+
+def _assign_cells(df, centroids, vcol, keep, top):
+    """Nearest-centroid assignment, reproducible across engines: the
+    similarity is rounded to 6dp before ranking (ties by cell id), so
+    float ulps can't flip a cell."""
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        *keep,
+        F.col("cell"),
+        F.round(cosine(F.col(vcol), F.col("c_vec")), 6).alias("_cs"),
+    )
+    ww = Window.partitionBy(*keep).orderBy(F.desc("_cs"), F.asc("cell"))
+    return (
+        scored.withColumn("_r", F.row_number().over(ww))
+        .filter(F.col("_r") <= top)
+        .select(*keep, "cell")
+    )
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    path: str,
+    n_cells: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One-time IVF index build, persisted: every vector is written
+    under ``path/cells/cell=<c>/`` (parquet, partitioned by its nearest
+    centroid cell) and the centroid table under ``path/centroids/``.
+
+    This is THE 100 TB shape for similarity search: the expensive
+    corpus assignment runs once, and every subsequent query scans only
+    its probed cells via Spark PARTITION PRUNING on the ``cell=``
+    directory layout — ``n_probe/n_cells`` of the data touched per
+    query, verified on the physical plan (PartitionFilters) in
+    tests/test_operators.py."""
+    centroids = _centroids(vectors, n_cells, id_col, vec_col)
+    assigned = vectors.join(
+        _assign_cells(
+            vectors.select(id_col, vec_col), centroids, vec_col, [id_col], 1
+        ),
+        id_col,
+    )
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(
+        f"{path}/cells"
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def query_ivf_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Top-k over a persisted IVF index: route queries to their
+    ``n_probe`` closest cells with the SAVED centroids, then scan only
+    those cells (partition-pruned) and rank by exact cosine. Returns
+    the same contract as :func:`ivf_topk` and, for identical
+    centroids/probes, the same rows."""
+    centroids = spark.read.parquet(f"{path}/centroids")
+    q_cells = queries.join(
+        _assign_cells(
+            queries.select(q_id_col, q_vec_col), centroids, q_vec_col,
+            [q_id_col], n_probe,
+        ),
+        q_id_col,
+    )
+    probed = [int(r["cell"]) for r in q_cells.select("cell").distinct().collect()]
+    # .filter(cell IN probed) reaches the scan as a PartitionFilter on
+    # the cell= directory partition — only probed cells are read.
+    cells = spark.read.parquet(f"{path}/cells").filter(
+        F.col("cell").isin(probed)
+    )
+    j = cells.join(F.broadcast(q_cells), "cell")
     scored = j.select(
         F.col(q_id_col),
         F.col(id_col),

@@ -64,7 +64,70 @@ def test_interval_overlap_bucketed_equals_theta(spark):
         assert got == theta, f"width={width}"
 
 
-def test_asof_window_equals_broadcast(spark):
+def test_ivf_index_persisted_partition_pruned(spark, tmp_path):
+    """Persisted IVF index: query_ivf_index over the on-disk cell
+    layout returns EXACTLY ivf_topk's rows (same centroids/rounding),
+    and the cells scan is partition-pruned — the plan carries a
+    PartitionFilters entry on cell and the files actually read are
+    only the probed cells' directories."""
+    from pyspark.sql import functions as F2
+
+    from tartare_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        query_ivf_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F2.col("vec_id") < 1).select(
+        F2.col("vec_id").alias("q_id"), F2.col("embedding").alias("q_vec")
+    )
+    vectors = emb.filter(F2.col("vec_id") >= 1)
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(vectors, idx, n_cells=8)
+    got = query_ivf_index(spark, idx, queries, k=5, n_probe=3)
+    want = ivf_topk(vectors, queries, k=5, n_cells=8, n_probe=3)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain(True)
+    plan = buf.getvalue()
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines and any("cell" in l for l in pf_lines), plan[-2000:]
+
+    # stronger, behavioral: corrupt every NON-probed cell's data files
+    # (inputFiles() reports the pre-pruning listing, so it can't prove
+    # pruning) — if the scan is really partition-pruned the query never
+    # opens them and still returns the exact rows; an unpruned scan
+    # would crash on the garbage parquet.
+    import os
+
+    from tartare_spark.operators.similarity import _assign_cells
+
+    centroids = spark.read.parquet(f"{idx}/centroids")
+    probed = {
+        str(r["cell"])
+        for r in _assign_cells(queries, centroids, "q_vec", ["q_id"], 3).collect()
+    }
+    assert len(probed) == 3
+    corrupted = 0
+    for entry in os.scandir(f"{idx}/cells"):
+        if entry.name.startswith("cell=") and entry.name.split("=")[1] not in probed:
+            for f in os.scandir(entry.path):
+                if f.name.endswith(".parquet"):
+                    with open(f.path, "wb") as fh:
+                        fh.write(b"not a parquet file")
+                    corrupted += 1
+    assert corrupted >= 1  # there were non-probed cells to corrupt
+    again = query_ivf_index(spark, idx, queries, k=5, n_probe=3)
+    assert {tuple(r) for r in again.collect()} == {
+        tuple(r) for r in want.collect()
+    }
     """J5: the big-big window implementation must agree with the
     broadcast theta-join implementation."""
     from tartare_spark.operators.asof import asof_join_broadcast, asof_join_window
