@@ -130,15 +130,7 @@ def main() -> None:
         write_events_parquet_fast(ev_src, spec2, events_per_file=60_000 // 8)
         src_files = sorted(glob.glob(os.path.join(ev_src, "*.parquet")))
 
-        def _stamp_in_order(d):
-            # Spark's file source orders by (mtime, path); same-ms mtime
-            # ties can list a later log chunk before an earlier one,
-            # which is an OUT-OF-ORDER source (outside the watermark
-            # fence's contract). A real binlog shipper delivers chunks
-            # monotonically — make the harness honor that.
-            t0 = time.time()
-            for i, f in enumerate(sorted(os.listdir(d))):
-                os.utime(os.path.join(d, f), (t0 + i, t0 + i))
+        from tartare_spark.fixtures import stamp_files_in_order as _stamp_in_order
 
         def _replay(tag: str, **fence_kw):
             ev2 = os.path.join(work2, f"events_{tag}")

@@ -49,15 +49,7 @@ def main() -> None:
         run_stream(spark, wdir, wl, os.path.join(work, "ckpt_w"),
                    max_files_per_trigger=8)
 
-        def _stamp_in_order(d):
-            # Spark's file source orders by (mtime, path); same-ms ties
-            # can flip chunk order, turning an in-order log into an
-            # out-of-order source (outside the watermark fence's
-            # contract). Stamp strictly increasing mtimes, as a real
-            # binlog shipper's chunks would carry.
-            t0 = time.time()
-            for i, f in enumerate(sorted(os.listdir(d))):
-                os.utime(os.path.join(d, f), (t0 + i, t0 + i))
+        from tartare_spark.fixtures import stamp_files_in_order as _stamp_in_order
 
         def run_one(ratio: float, variant: str, rep: int):
             tag = f"{variant}_{int(ratio * 100)}_{rep}"

@@ -65,7 +65,8 @@ def cmd_replay(args) -> int:
     )
     # report only THIS run's batches (metrics.jsonl is cumulative
     # across replays into the same lake)
-    m = [x for x in lake.metrics()[n_before:] if not x.get("skipped")]
+    m = [x for x in lake.metrics()[n_before:]
+         if not x.get("skipped") and not x.get("maintenance")]
     applied = sum(x.get("rows") or 0 for x in m)
     print(
         json.dumps(

@@ -199,6 +199,22 @@ def events_arrow_table(cols: dict[str, list]) -> pa.Table:
     )
 
 
+def stamp_files_in_order(directory: str) -> None:
+    """Stamp strictly increasing mtimes on ``directory``'s files in
+    sorted-name order. Spark's file stream source lists by (mtime,
+    path); same-ms mtime ties between log chunks can flip their order,
+    turning an in-order log into an out-of-order SOURCE — which is
+    outside the manifest watermark fence's contract. A real binlog
+    shipper's chunks carry monotone mtimes; test/bench harnesses call
+    this to honor the same contract."""
+    import time as _time
+
+    t0 = _time.time()
+    for i, name in enumerate(sorted(os.listdir(directory))):
+        p = os.path.join(directory, name)
+        os.utime(p, (t0 + i, t0 + i))
+
+
 def write_events_parquet(
     out_dir: str, spec: FixtureSpec = UNIT, events_per_file: int = 100
 ) -> int:

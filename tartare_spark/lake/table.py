@@ -158,6 +158,7 @@ class LakeTable:
             "deltas": {},
             "bucket_lsn": {},
             "stats": {"rows_written": 0},
+            "committed_at": time.time(),
         }
         _atomic_write_json(_manifest_path(root, 0), manifest)
         _atomic_write_text(os.path.join(root, "_current"), "0")
@@ -986,13 +987,14 @@ class LakeTable:
         """Largest retained version committed at-or-before wall-clock
         ``ts`` (Iceberg timestamp time travel). Raises if the retained
         range starts after ``ts`` (expired) or nothing was committed
-        yet by ``ts``. Commits missing a stamp (pre-upgrade manifests)
-        are treated as committed at creation of the next stamped one,
-        i.e. they match any later ``ts``."""
+        yet by ``ts`` — travel to before the table existed is an error,
+        not an empty read. Manifests missing a stamp (written before
+        this feature) are never matched by timestamp travel — their
+        commit time is unknown; use version travel for them."""
         best = None
         for rec in self.history():
             at = rec["committed_at"]
-            if at is None or at <= ts:
+            if at is not None and at <= ts:
                 best = rec["version"]
         if best is None:
             raise ValueError(

@@ -93,7 +93,8 @@ def manifest_watermark_fence(
     in-order log into an out-of-order source; ship chunks with
     monotone mtimes (or names matching mtime order), as binlog
     shippers do."""
-    wm = {int(b): int(v) for b, v in lake.manifest()["bucket_lsn"].items()}
+    m = lake.manifest()
+    wm = {int(b): int(v) for b, v in m["bucket_lsn"].items()}
     if not wm:
         return ev
     entries: list = []
@@ -101,7 +102,10 @@ def manifest_watermark_fence(
         entries += [F.lit(b), F.lit(v - int(allowed_lateness))]
     wm_map = F.create_map(*entries)
     floor = F.lit(-(2**63)).cast("long")
-    b = bucket_expr(lake.num_buckets)
+    # layout from the SAME manifest the watermarks came from (not the
+    # instance cache) — a stale handle after a rebucket must not compare
+    # events against the wrong bucket's watermark
+    b = bucket_expr(int(m.get("num_buckets", lake.num_buckets)))
     return ev.filter(F.col("lsn") > F.coalesce(wm_map[b], floor))
 
 

@@ -263,14 +263,20 @@ def query_ivf_index(
     the same contract as :func:`ivf_topk` and, for identical
     centroids/probes, the same rows."""
     centroids = spark.read.parquet(f"{path}/centroids")
-    q_cells = queries.join(
-        _assign_cells(
-            queries.select(q_id_col, q_vec_col), centroids, q_vec_col,
-            [q_id_col], n_probe,
-        ),
-        q_id_col,
+    # run the query→cell routing ONCE: collect the (query, cell) pairs
+    # (tiny — |Q|·n_probe rows) and rebuild the routing table from them,
+    # so the crossJoin+window assignment job is not re-executed when the
+    # candidate join evaluates q_cells.
+    routed = _assign_cells(
+        queries.select(q_id_col, q_vec_col), centroids, q_vec_col,
+        [q_id_col], n_probe,
+    ).collect()
+    route = spark.createDataFrame(
+        [(r[q_id_col], int(r["cell"])) for r in routed],
+        [q_id_col, "cell"],
     )
-    probed = [int(r["cell"]) for r in q_cells.select("cell").distinct().collect()]
+    q_cells = queries.join(route, q_id_col)
+    probed = sorted({int(r["cell"]) for r in routed})
     # .filter(cell IN probed) reaches the scan as a PartitionFilter on
     # the cell= directory partition — only probed cells are read.
     cells = spark.read.parquet(f"{path}/cells").filter(

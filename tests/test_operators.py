@@ -128,6 +128,9 @@ def test_ivf_index_persisted_partition_pruned(spark, tmp_path):
     assert {tuple(r) for r in again.collect()} == {
         tuple(r) for r in want.collect()
     }
+
+
+def test_asof_window_equals_broadcast(spark):
     """J5: the big-big window implementation must agree with the
     broadcast theta-join implementation."""
     from tartare_spark.operators.asof import asof_join_broadcast, asof_join_window

@@ -524,19 +524,17 @@ def test_history_and_timestamp_time_travel(spark, unit_events, tmp_path):
 
     hist = lake.history()
     assert [h["version"] for h in hist] == list(range(lake.current_version() + 1))
-    assert all(h["committed_at"] is not None for h in hist if h["version"] > 0)
-    stamps = [h["committed_at"] for h in hist if h["committed_at"]]
+    assert all(h["committed_at"] is not None for h in hist)  # incl. v0 (create)
+    stamps = [h["committed_at"] for h in hist]
     assert stamps == sorted(stamps)
 
     v_mid = lake.version_as_of(mid_ts)
     assert v_mid < lake.current_version()
     assert lake.snapshot_as_of(spark, mid_ts).count() == mid_rows
-    # as-of "now" = current snapshot; before creation = loud error
+    # as-of "now" = current snapshot; before the table existed = loud
+    # error, not an empty read
     assert lake.version_as_of(_time.time()) == lake.current_version()
     with pytest.raises(ValueError, match="no retained snapshot"):
-        # v0 has no stamp (treated as matching any ts) — so probe the
-        # error path via an expired range instead
-        lake.expire_snapshots(keep_last=1)
         lake.version_as_of(0.0)
 
 
