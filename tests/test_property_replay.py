@@ -72,3 +72,52 @@ def test_any_log_any_split_matches_referee(spark, tmp_path_factory, log, chunks)
     exp = spark.createDataFrame(expected)
     assert eng.exceptAll(exp).count() == 0
     assert exp.exceptAll(eng).count() == 0
+
+
+@given(log=change_log(), chunks=st.integers(min_value=1, max_value=4),
+       re_frac=st.floats(min_value=0.1, max_value=1.0))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_manifest_fence_any_inorder_log_with_redelivery(
+    spark, tmp_path_factory, log, chunks, re_frac
+):
+    """Property: for ANY change log delivered IN ORDER (LSN-sorted
+    chunks — the fence's contract) and ANY later redelivery of a
+    prefix of it, the manifest-fenced replay converges to the referee
+    state and the redelivered tail applies zero rows."""
+    from tartare_spark.operators.apply import apply_batch
+
+    pdf = pd.DataFrame(log, columns=CHANGE_EVENT_COLUMNS)
+    ordered = pdf.sort_values("lsn", kind="stable").reset_index(drop=True)
+
+    root = tmp_path_factory.mktemp("prop_fence")
+    lake = LakeTable.create(str(root / "lake"), num_buckets=4)
+    bounds = [int(len(ordered) * i / chunks) for i in range(chunks + 1)]
+    bid = 0
+    for i in range(chunks):
+        part = ordered.iloc[bounds[i]:bounds[i + 1]]
+        if part.empty:
+            continue
+        apply_batch(spark, lake, spark.createDataFrame(part), batch_id=bid,
+                    lsn_fence="manifest")
+        bid += 1
+
+    # redeliver a prefix of the already-applied log in new batches
+    re_n = max(1, int(len(ordered) * re_frac))
+    redelivered = ordered.iloc[:re_n]
+    rec = apply_batch(spark, lake, spark.createDataFrame(redelivered),
+                      batch_id=bid, lsn_fence="manifest")
+    assert rec["rows"] == 0  # the fence dropped every redelivered event
+
+    expected = replay_referee(pdf)
+    eng = lake.snapshot(spark)
+    if expected.empty:
+        assert eng.count() == 0
+        return
+    eng = eng.select(*expected.columns.tolist())
+    exp = spark.createDataFrame(expected)
+    assert eng.exceptAll(exp).count() == 0
+    assert exp.exceptAll(eng).count() == 0
