@@ -5,7 +5,8 @@ evidenced by the SAME job on the SAME input at two parallelism levels
 (default ``local[1]`` vs ``local[4]`` — see LEVELS below for why), in
 separate JVMs, engine shipped via ``--py-files engine.zip`` exactly as
 the north rule's launch path prescribes. Writes ``BENCH/BASELINE.md``
-with both throughputs + scaling efficiency = (T_4N / T_N) / 4, next to
+with both throughputs + scaling efficiency = (throughput_4N /
+throughput_N) / 4, next to
 the host's own measured parallel ceilings (scripts/host_probe.py).
 
 Usage: python scripts/scaling_bench.py [n_events] [runs_per_level] [content_len]
@@ -214,7 +215,7 @@ parallelism levels in separate JVMs via the production launch path
 | local[{LEVELS[0]}] (N) | {lo['events']:,} | {lo['wall_seconds']} | {lo['events_per_sec']:,} | {batch_summary(lo)} |
 | local[{LEVELS[1]}] (4N) | {hi['events']:,} | {hi['wall_seconds']} | {hi['events_per_sec']:,} | {batch_summary(hi)} |
 
-**Scaling efficiency = (T_{LEVELS[1]} / T_{LEVELS[0]}) / {LEVELS[1] / LEVELS[0]:g} = {eff:.3f}** (target >= 0.8).
+**Scaling efficiency = (throughput_{LEVELS[1]} / throughput_{LEVELS[0]}) / {LEVELS[1] / LEVELS[0]:g} = {eff:.3f}** (target >= 0.8).
 
 Caveats of the sandbox protocol: both levels share one box (memory
 bandwidth + parquet I/O are shared, unlike a real 4x-executor

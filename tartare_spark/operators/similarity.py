@@ -271,9 +271,13 @@ def query_ivf_index(
         queries.select(q_id_col, q_vec_col), centroids, q_vec_col,
         [q_id_col], n_probe,
     ).collect()
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # explicit schema: inference would crash on an empty query set
     route = spark.createDataFrame(
         [(r[q_id_col], int(r["cell"])) for r in routed],
-        [q_id_col, "cell"],
+        StructType([queries.schema[q_id_col],
+                    StructField("cell", IntegerType())]),
     )
     q_cells = queries.join(route, q_id_col)
     probed = sorted({int(r["cell"]) for r in routed})
