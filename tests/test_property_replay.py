@@ -121,3 +121,47 @@ def test_manifest_fence_any_inorder_log_with_redelivery(
     exp = spark.createDataFrame(expected)
     assert eng.exceptAll(exp).count() == 0
     assert exp.exceptAll(eng).count() == 0
+
+
+@given(
+    ivs=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 300)),
+        min_size=1, max_size=40,
+    ),
+    width=st.integers(min_value=1, max_value=1000),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_interval_overlap_bucketed_any_intervals_any_width(spark, ivs, width):
+    """Property: the bucketed equi+residual overlap join equals the
+    theta join for ANY interval set (touching endpoints, zero-length,
+    duplicates) and ANY bucket width (tiny fanout-heavy through wider
+    than every interval)."""
+    from pyspark.sql import functions as F2
+
+    from tartare_spark.operators.ranges import interval_overlap_bucketed
+
+    rows = [(i, s, s + d) for i, (s, d) in enumerate(ivs)]
+    iv = spark.createDataFrame(rows, "k INT, s BIGINT, e BIGINT")
+    a, b = iv.alias("a"), iv.alias("b")
+    theta = {
+        (r["k_a"], r["k_b"])
+        for r in a.join(
+            b,
+            (F2.col("a.k") < F2.col("b.k"))
+            & (F2.col("a.s") <= F2.col("b.e"))
+            & (F2.col("b.s") <= F2.col("a.e")),
+        )
+        .select(F2.col("a.k").alias("k_a"), F2.col("b.k").alias("k_b"))
+        .collect()
+    }
+    got = {
+        (r["k_a"], r["k_b"])
+        for r in interval_overlap_bucketed(
+            iv, key="k", start="s", end="e", bucket_width=width
+        ).collect()
+    }
+    assert got == theta
