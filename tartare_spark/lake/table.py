@@ -366,7 +366,13 @@ class LakeTable:
         records its deduped changes as SIDECAR files (the apply already
         knows the staged keys, so this costs one extra O(batch) write at
         commit time) and the feed reads only those — same O(changed
-        rows) cost as MOR. Only when a range contains legacy commits
+        rows) cost as MOR. Redelivery caveat (both modes): under
+        unfenced redelivery a commit's recorded change set can include
+        stale rows (LSN at-or-below the already-applied row for that
+        key) that the merge discarded — consumers must apply the feed
+        LWW-by-``_lsn`` (as ``feed_as_changelog`` → ``apply_batch``
+        relays do); naive last-row-wins replay can regress on stale
+        rows. Only when a range contains legacy commits
         written before sidecars does the feed fall back to a snapshot
         diff (O(both snapshots), tombstones synthesized, all rows
         attributed to to_version)."""
@@ -930,8 +936,26 @@ class LakeTable:
             return
         except FileExistsError:
             pass
+        except OSError:
+            # Filesystem without hard-link support (some NFS/object-store
+            # FUSE mounts raise EPERM/EOPNOTSUPP): fall back to an
+            # O_EXCL-create claim followed by an atomic replace with the
+            # fully-written temp. The claim is still exclusive and the
+            # content still appears atomically; the only regression vs
+            # the link path is a small window where the claimed name
+            # holds an empty file (a writer crashing there leaves an
+            # unparseable claim — the retry loop below already treats
+            # that as loud storage corruption rather than guessing).
+            try:
+                os.close(os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            except FileExistsError:
+                pass
+            else:
+                os.replace(tmp, path)
+                return
         finally:
-            os.unlink(tmp)
+            if os.path.exists(tmp):
+                os.unlink(tmp)
         # The claim exists and — because claims are only ever created
         # from complete temp files — is complete JSON (a parse failure
         # can only mean storage corruption; retry briefly, then give up

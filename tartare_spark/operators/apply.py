@@ -231,11 +231,17 @@ def apply_batch(
             )
             schema_version = schema_fn(max(bucket_lsn.values())) if schema_fn else None
             # changed-key sidecar: the staged side is already deduped
-            # per key, so its physical projection IS this commit's
-            # change set — one extra O(batch) write that lets changes()
+            # per key, so its physical projection is this commit's
+            # UPSERT SET — one extra O(batch) write that lets changes()
             # serve the CoW feed without an O(both snapshots) diff.
-            # (A crash before commit leaves the sidecar as an orphan
-            # for vacuum(), same as data files.)
+            # Redelivery caveat: under unfenced redelivery the staged
+            # batch can contain stale rows (LSN below the already-applied
+            # row) that the merge then discards, so the feed may carry
+            # rows that did not change table state — same semantics as
+            # the MOR delta feed; consumers must apply LWW-by-LSN (see
+            # LakeTable.changes docstring). (A crash before commit
+            # leaves the sidecar as an orphan for vacuum(), same as
+            # data files.)
             import uuid as _uuid
 
             sidecars = lake._write_data_files(
@@ -294,8 +300,13 @@ def apply_batch(
     lake.append_metrics(rec)
     if compact_worst:
         # maintenance AFTER the batch's metrics record: the commit is
-        # already published and consumers already see the batch; the
-        # bucket fold runs between triggers and reports its own record.
+        # already published and consumers already see the batch, and the
+        # fold is excluded from the batch's seconds/keys_per_sec. It
+        # still runs synchronously on the foreachBatch thread, so it
+        # delays the NEXT trigger — what moved is metrics attribution
+        # and publish-before-compact ordering, not trigger-to-trigger
+        # latency (an async maintenance thread would change crash
+        # semantics: orphaned half-folds vs today's deterministic state).
         t1 = time.time()
         n_compacted = lake.compact(spark, buckets=compact_worst)
         lake.append_metrics(

@@ -46,11 +46,26 @@ def asof_join_broadcast(
     (m = distinct matched ``right_on`` values, or 1 for the unmatched
     null-extension), and ``explode(sequence)`` restores the n copies.
     Every expression is deterministic, so retries replay exactly.
-    Requires distinct ``right_on`` values on the right side (a version
-    table always has them; an as-of key seen twice on the right would
-    make count/m under-recover n)."""
+    The right side is first deduplicated per ``right_on`` (deterministic
+    lexicographic-max payload winner), which the arithmetic requires:
+    with duplicate as-of keys on the right, count would be n·m_rows but
+    m stays m_distinct, so n = count/m would OVER-recover and duplicate
+    output rows. An as-of key seen twice on the right is ambiguous
+    anyway; the max-struct winner makes the choice deterministic."""
     keys = left.columns
-    j = left.join(F.broadcast(right), F.col(right_on) <= F.col(left_on), "left")
+    rdd_payload = [c for c in payload if c != right_on]
+    if rdd_payload:
+        r = (
+            right.groupBy(right_on)
+            .agg(F.max(F.struct(*rdd_payload)).alias("_p"))
+            .select(
+                F.col(right_on),
+                *[F.col(f"_p.{c}").alias(c) for c in rdd_payload],
+            )
+        )
+    else:  # payload is just the as-of key itself
+        r = right.select(right_on).distinct()
+    j = left.join(F.broadcast(r), F.col(right_on) <= F.col(left_on), "left")
     g = j.groupBy(*keys).agg(
         F.max_by(F.struct(*payload), F.col(right_on)).alias("_best"),
         F.count(F.lit(1)).alias("_nm"),

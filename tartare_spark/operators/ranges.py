@@ -28,6 +28,20 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
 
+def _floor_div(col, w):
+    """Exact floor division over the FULL long domain. ``F.floor(a / b)``
+    divides as doubles, so quotients past 2^53 lose integer precision
+    (bucket sizing went erratic near the long extremes, even though the
+    consistent use of the same mapping kept results correct). Subtracting
+    ``pmod`` first makes the quotient an exact integer — the decimal
+    division then has zero true fraction, so its bounded result scale
+    cannot round it, at any long magnitude; pmod's non-negative result
+    also gives true floor (not truncate-toward-zero) for negative bounds.
+    """
+    exact = (col - F.pmod(col, w)).cast("decimal(38,0)")
+    return (exact / w.cast("decimal(38,0)")).cast("long")
+
+
 def _to_long(col, dtype):
     """Monotone map of an interval bound to a long for bucket
     arithmetic: days since epoch for dates, seconds since epoch for
@@ -71,7 +85,7 @@ def interval_overlap_bucketed(
     ).select(
         "*",
         F.explode(
-            F.sequence(F.floor(F.col("_lo") / w), F.floor(F.col("_hi") / w))
+            F.sequence(_floor_div(F.col("_lo"), w), _floor_div(F.col("_hi"), w))
         ).alias("_bucket"),
     )
     a = tagged.select(
@@ -97,7 +111,7 @@ def interval_overlap_bucketed(
         # report each pair exactly once: in the bucket where the
         # overlap starts (no dedup shuffle needed)
         & (
-            F.floor(F.greatest(F.col("lo_a"), F.col("lo_b")) / w)
+            _floor_div(F.greatest(F.col("lo_a"), F.col("lo_b")), w)
             == F.col("_bucket")
         )
     )

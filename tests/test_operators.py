@@ -494,6 +494,53 @@ def test_asof_broadcast_preserves_duplicate_rows(spark):
     assert sorted((r["lsn"], r["version"]) for r in out) == [(5, 1), (5, 1), (7, 2)]
 
 
+def test_asof_broadcast_duplicate_right_keys_no_overcount(spark):
+    """ADVICE r3: duplicate ``right_on`` values made the count/m
+    duplicate-recovery arithmetic OVER-recover (count = n*m_rows, m =
+    m_distinct). The right side is now pre-deduplicated per right_on
+    (deterministic max-struct winner), so output cardinality == left
+    cardinality regardless of right-side duplication."""
+    from tartare_spark.operators.asof import asof_join_broadcast
+
+    left = spark.createDataFrame([(5,), (5,), (7,)], "lsn LONG")
+    # eff=0 appears twice with different payloads; max-struct winner is
+    # version 9 (lexicographic max on the payload struct)
+    right = spark.createDataFrame(
+        [(1, 0), (9, 0), (2, 6)], "version INT, eff LONG"
+    )
+    out = asof_join_broadcast(left, right, "lsn", "eff", ["version"]).collect()
+    assert sorted((r["lsn"], r["version"]) for r in out) == [
+        (5, 9), (5, 9), (7, 2)
+    ]
+
+
+def test_interval_bucket_arithmetic_exact_at_long_extremes(spark):
+    """ADVICE r3: floor(a / b) on doubles loses integer precision past
+    2^53. The exact pmod/decimal floor-division keeps bucket ids exact
+    (and hence fanout bounded and the overlap-start dedup aligned) over
+    the full long domain, including negatives."""
+    from tartare_spark.operators.ranges import _floor_div
+
+    vals = [
+        2**62 + 12345,
+        2**62 + 12346,  # adjacent — doubles collapse these
+        -(2**62) - 7,
+        2**53 + 1,
+        -1,
+        0,
+        89,
+        90,
+    ]
+    w = 90
+    df = spark.createDataFrame([(v,) for v in vals], "v LONG")
+    got = {
+        r["v"]: r["b"]
+        for r in df.select("v", _floor_div(F.col("v"), F.lit(w).cast("long")).alias("b")).collect()
+    }
+    for v in vals:
+        assert got[v] == v // w, (v, got[v], v // w)
+
+
 def test_replay_batches_empty_input_noop(spark, tmp_path):
     from tartare_spark.lake.schema import CHANGE_EVENT_SCHEMA
     from tartare_spark.lake.table import LakeTable
