@@ -72,19 +72,27 @@ def main() -> None:
         n_written = write_events_parquet_fast(
             events_dir, spec, events_per_file=max(N_EVENTS // 32, 1)
         )
+        # bucket layout sized to the executor pool (one write task per
+        # core, single wave): buckets are a cluster-scaled layout knob —
+        # measured on this 1M fixture, 32 buckets on 32 cores beats 64
+        # (625k vs 561k ev/s) and 128 (432k); a 1000-executor cluster
+        # would size thousands. Never below 8 so bucket pruning stays
+        # meaningful at tiny CPU counts.
+        n_buckets = max(int(CPUS), 8)
+
         # untimed JIT/codegen warmup: one full replay of the SAME input
         # through the same apply path (the headline metric is
         # steady-state throughput; a 10^10-event replay amortizes JVM
         # warmup to nothing — a 1M-event one does not)
         wdir = os.path.join(work, "warmup")
-        wlake = LakeTable.create(os.path.join(wdir, "lake"), num_buckets=64)
+        wlake = LakeTable.create(os.path.join(wdir, "lake"), num_buckets=n_buckets)
         run_stream(spark, events_dir, wlake,
                    os.path.join(wdir, "ckpt"), max_files_per_trigger=None)
         shutil.rmtree(wdir, ignore_errors=True)
 
         def _timed_replay(tag: str, mfpt):
             d = os.path.join(work, tag)
-            lk = LakeTable.create(os.path.join(d, "lake"), num_buckets=64)
+            lk = LakeTable.create(os.path.join(d, "lake"), num_buckets=n_buckets)
             t0 = time.time()
             run_stream(spark, events_dir, lk, os.path.join(d, "ckpt"),
                        max_files_per_trigger=mfpt)
@@ -92,23 +100,29 @@ def main() -> None:
             shutil.rmtree(d, ignore_errors=True)
             return round(dt, 3)
 
-        # best-of-2, both runs disclosed: this host's hypervisor
-        # neighbors swing identical back-to-back runs by >1.5x (see
-        # BENCH/BASELINE.md host probe); min is the least-contended
-        # estimate of the engine's own cost.
-        # (a) multi-batch shape (2 triggers over the 33 fixture files) —
-        # comparable with BENCH_r01/r02;
-        # (b) one availableNow batch — the amortized design point: at
-        # 10^10 events per-trigger fixed cost (planning + foreachBatch
-        # roundtrip + manifest commit, ~0.6-0.9 s here) vanishes, so
-        # this is the per-event cost a large replay actually pays.
-        runs_multi = [_timed_replay(f"replay_m{i}", 17) for i in range(2)]
-        runs_big = [_timed_replay(f"replay_b{i}", None) for i in range(2)]
-        dt = min(runs_multi)
-        queries["cdc_stream_replay"] = dt
-        queries["cdc_stream_replay_bigbatch"] = min(runs_big)
-        events_per_sec = round(n_written / dt, 1)
-        events_per_sec_big = round(n_written / min(runs_big), 1)
+        # PRIMARY metric (round-4 restructure, VERDICT_r03 item 1): the
+        # amortized one-availableNow-trigger replay — at the 10^10-event
+        # design point per-trigger fixed cost (planning + foreachBatch
+        # roundtrip + manifest commit, ~0.4-0.9 s here) vanishes, so this
+        # is the per-event cost a large replay actually pays. SECONDARY:
+        # the 2-trigger multi-batch shape (trigger-latency view,
+        # comparable with BENCH_r01-r03's old headline). Three draws of
+        # each, INTERLEAVED (big, multi, big, multi, ...) so this host's
+        # hypervisor-neighbor noise (>1.5x swings between identical
+        # back-to-back runs — BENCH/BASELINE.md host probe) hits both
+        # shapes equally; the reported number is the MEDIAN, all draws
+        # disclosed in cdc_replay_runs_sec.
+        runs_multi: list[float] = []
+        runs_big: list[float] = []
+        for i in range(3):
+            runs_big.append(_timed_replay(f"replay_b{i}", None))
+            runs_multi.append(_timed_replay(f"replay_m{i}", 17))
+        med_big = sorted(runs_big)[1]
+        med_multi = sorted(runs_multi)[1]
+        queries["cdc_stream_replay_bigbatch"] = med_big
+        queries["cdc_stream_replay"] = med_multi
+        events_per_sec_big = round(n_written / med_big, 1)
+        events_per_sec_multi = round(n_written / med_multi, 1)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -266,8 +280,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cdc_events_per_sec": events_per_sec,
+                # PRIMARY: amortized availableNow replay, median of 3
+                # interleaved draws (r1-r3 reported the multi-trigger
+                # shape here; see BENCH/BASELINE.md round-4 addenda)
+                "cdc_events_per_sec": events_per_sec_big,
                 "cdc_events_per_sec_bigbatch": events_per_sec_big,
+                "cdc_events_per_sec_multi": events_per_sec_multi,
                 "cdc_replay_runs_sec": {"multi": runs_multi, "bigbatch": runs_big},
                 "cdc_events": n_written,
                 "fence_state_equal": fence_state_equal,

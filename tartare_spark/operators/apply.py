@@ -249,6 +249,7 @@ def apply_batch(
                 f"cdc-{batch_id}-{_uuid.uuid4().hex[:8]}",
                 len(touched),
                 blooms=False,
+                codec="lz4",
             )
             target = lake.read_raw(spark, buckets=touched)
             merged = merge_upserts(target, staged.drop("_bucket"), lake.num_buckets)
