@@ -1349,6 +1349,36 @@ def sim2_ann_lsh_bucketed(spark, sf_dir):
     )
 
 
+@demo("sim2b_ann_lsh_persisted", _sim2_oracle_sql())
+def sim2b_ann_lsh_persisted(spark, sf_dir):
+    """Persisted-index variant of sim2 (the 100 TB repeated-query
+    shape): the per-table bucket layout is built ONCE to disk, then the
+    query scans only its |Q|·n_tables probed (t, b) partitions via
+    partition pruning — instead of re-hashing the corpus once per table
+    per call as the inline form does. Same hash family and parameters,
+    so identical rows and the identical oracle. Pruning proven
+    behaviorally in tests/test_operators.py (non-probed partitions
+    corrupted, queries unaffected)."""
+    import tempfile
+
+    from tartare_spark.operators.similarity import (
+        build_lsh_index,
+        query_lsh_index,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    vectors = emb.filter(F.col("vec_id") >= 5)
+    # scratch index per call: the demo contract is (spark, sf_dir) ->
+    # DataFrame; the returned frame reads lazily from the index, so the
+    # dir must outlive the call (driver temp cleanup reclaims it)
+    idx = tempfile.mkdtemp(prefix="tartare_lsh_idx_")
+    build_lsh_index(vectors, idx, n_planes=3, n_tables=8)
+    return query_lsh_index(spark, idx, queries, k=5)
+
+
 @demo(
     "mm1_blob_metadata",
     "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "

@@ -130,6 +130,77 @@ def test_ivf_index_persisted_partition_pruned(spark, tmp_path):
     }
 
 
+def test_lsh_index_persisted_partition_pruned(spark, tmp_path):
+    """Persisted sign-LSH index (the sim2 analog of the IVF index):
+    query_lsh_index over the on-disk (t, b) layout returns EXACTLY
+    lsh_bucketed_topk's rows for the same hash family, and the scan is
+    partition-pruned — proven behaviorally by corrupting every
+    non-probed (t, b) partition's data files and re-querying (an
+    unpruned scan would crash on the garbage parquet; inputFiles()
+    can't prove pruning, it lists pre-pruning)."""
+    from pyspark.sql import functions as F2
+
+    from tartare_spark.operators.similarity import (
+        build_lsh_index,
+        hyperplane_bucket,
+        lsh_bucketed_topk,
+        query_lsh_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F2.col("vec_id") < 2).select(
+        F2.col("vec_id").alias("q_id"), F2.col("embedding").alias("q_vec")
+    )
+    vectors = emb.filter(F2.col("vec_id") >= 2)
+
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(vectors, idx, n_planes=3, n_tables=4)
+    got = query_lsh_index(spark, idx, queries, k=5)
+    want = lsh_bucketed_topk(
+        vectors, queries, k=5, n_planes=3, multi_probe=0, n_tables=4
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        got.explain(True)
+    plan = buf.getvalue()
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines and any("b" in l for l in pf_lines), plan[-2000:]
+
+    # the probed (t, b) set, recomputed with the same hash family
+    probed: dict[int, set[int]] = {}
+    for t in range(4):
+        for r in queries.select(
+            hyperplane_bucket(F2.col("q_vec"), 3, seed=42 + t).alias("b")
+        ).collect():
+            probed.setdefault(t, set()).add(int(r["b"]))
+    corrupted = 0
+    for tdir in os.scandir(f"{idx}/buckets"):
+        if not tdir.name.startswith("t="):
+            continue
+        t = int(tdir.name.split("=")[1])
+        for bdir in os.scandir(tdir.path):
+            if not bdir.name.startswith("b="):
+                continue
+            if int(bdir.name.split("=")[1]) in probed.get(t, set()):
+                continue
+            for f in os.scandir(bdir.path):
+                if f.name.endswith(".parquet"):
+                    with open(f.path, "wb") as fh:
+                        fh.write(b"not a parquet file")
+                    corrupted += 1
+    assert corrupted >= 1  # there were non-probed partitions to corrupt
+    again = query_lsh_index(spark, idx, queries, k=5)
+    assert {tuple(r) for r in again.collect()} == {
+        tuple(r) for r in want.collect()
+    }
+
+
 def test_asof_window_equals_broadcast(spark):
     """J5: the big-big window implementation must agree with the
     broadcast theta-join implementation."""
