@@ -34,10 +34,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
-    queries = emb.filter(F.col("vec_id") < 5).select(
+    # 25 queries (125 ground-truth pairs): at the demo's 5 queries one
+    # pair is 0.04 recall — config choices would be seed luck
+    queries = emb.filter(F.col("vec_id") < 25).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     ).cache()
-    vectors = emb.filter(F.col("vec_id") >= 5).cache()
+    vectors = emb.filter(F.col("vec_id") >= 25).cache()
     n_q, n_v = queries.count(), vectors.count()
 
     exact = {
@@ -93,26 +95,58 @@ def main() -> None:
 
     lines += [
         "",
-        "## sim3 — IVF (cells × probes)",
+        "## sim3 — IVF (cells × probes × Lloyd iterations)",
         "",
-        "| cells | probes | recall@5 | cand. fraction | sec |",
-        "|---|---|---|---|---|",
+        "Centroids are deterministic `kmeans_centroids` as of round 4: "
+        "md5-sample seeding, then `n_iters` Lloyd refinement passes. "
+        "Both variants measured. At 16 cells Lloyd buys +0.06–0.09 "
+        "recall at IDENTICAL candidate fraction even on this "
+        "near-uniform corpus; at 32 cells (denser seeding) it ties. On "
+        "corpora with real cluster structure the win is larger — pinned "
+        "by tests/test_operators.py::test_kmeans_beats_sampling_on_"
+        "clusters (recall 0.95 → 1.00 at probe=1 of 8 true clusters). "
+        "Shipped sim3 demo config (✓) = the cheapest measured ≥0.8 "
+        "point. Round 3's first-n_cells-by-id seeding was measured on "
+        "only 5 queries (one ground-truth pair = 0.04 recall), so its "
+        "numbers (32/12 = 0.80 @ 0.375) are not comparable at this "
+        "measurement precision.",
+        "",
+        "| cells | probes | n_iters | recall@5 | cand. fraction | sec |",
+        "|---|---|---|---|---|---|",
     ]
     for cells, probes in ivf_grid:
-        t0 = time.time()
-        r = recall(ivf_topk(vectors, queries, k=5, n_cells=cells, n_probe=probes))
-        cf = ivf_candidates(
-            vectors, queries, n_cells=cells, n_probe=probes
-        ).count() / (n_q * n_v)
-        dt = time.time() - t0
-        mark = " ✓" if (cells, probes) == (32, 12) else ""
-        lines.append(f"| {cells} | {probes} | {r:.2f}{mark} | {cf:.3f} | {dt:.1f} |")
-        print(lines[-1], flush=True)
+        for iters in (0, 2):
+            t0 = time.time()
+            r = recall(ivf_topk(vectors, queries, k=5, n_cells=cells,
+                                n_probe=probes, n_iters=iters))
+            cf = ivf_candidates(
+                vectors, queries, n_cells=cells, n_probe=probes, n_iters=iters
+            ).count() / (n_q * n_v)
+            dt = time.time() - t0
+            mark = " ✓" if (cells, probes, iters) == (16, 8, 2) else ""
+            lines.append(
+                f"| {cells} | {probes} | {iters} | {r:.2f}{mark} | {cf:.3f} | {dt:.1f} |"
+            )
+            print(lines[-1], flush=True)
 
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCH", "ANN.md")
+    # preserve the persisted-index (sim2b) section, which is measured by
+    # hand in its own session, across regenerations of the two curves
+    persisted = ""
+    if os.path.exists(out):
+        with open(out) as f:
+            old = f.read()
+        if "## sim2b" in old:
+            persisted = old[old.index("## sim2b"):]
+            nxt = persisted.find("\n## sim3")
+            if nxt >= 0:
+                persisted = persisted[:nxt]
+    text = "\n".join(lines) + "\n"
+    if persisted:
+        text = text.replace("## sim3", persisted.rstrip() + "\n\n## sim3", 1)
     with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write(text)
     print(f"wrote {out}")
 
 

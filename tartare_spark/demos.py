@@ -1399,8 +1399,54 @@ def mm1_blob_metadata(spark, sf_dir):
     )
 
 
-_SIM3_N_CELLS = 32
-_SIM3_N_PROBE = 12
+# Measured 25-query curve (BENCH/ANN.md): 16 cells / 8 probes with 2
+# Lloyd iterations = recall@5 0.84 @ 0.498 candidate fraction — the
+# cheapest >=0.8 config, and the refinement buys +0.06 recall over raw
+# md5-sample seeding at identical candidates even on this near-uniform
+# corpus (on clustered corpora the win is larger:
+# tests/test_operators.py::test_kmeans_beats_sampling_on_clusters).
+_SIM3_N_CELLS = 16
+_SIM3_N_PROBE = 8
+_SIM3_N_ITERS = 2
+
+
+def _ivf_cents_sql(n_cells: int, n_iters: int = 2, seed: int = 42) -> str:
+    """The DuckDB mirror of kmeans_centroids (similarity.py): a CTE
+    chain over ``vecs(vec_id, v)`` ending in ``cents(cell, cv)``.
+    Seeding orders by md5(seed|id); each Lloyd iteration assigns by
+    rounded-cosine argmax (ties by cell) and recomputes means with the
+    SAME canonical-order fold Spark uses (members sorted by id, summed
+    left-to-right in doubles) so centroids come out bit-identical."""
+    key = f"md5(CAST({seed} AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR))"
+    parts = [f"""cents0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY {key} ASC, vec_id ASC) - 1 AS INT) AS cell, v AS cv
+  FROM (SELECT * FROM vecs ORDER BY {key} ASC, vec_id ASC LIMIT {n_cells})
+)"""]
+    for i in range(n_iters):
+        parts.append(f"""ka{i} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vecs.vec_id, vecs.v, c.cell,
+           row_number() OVER (PARTITION BY vecs.vec_id
+             ORDER BY round(list_cosine_similarity(vecs.v, c.cv), 6) DESC,
+                      c.cell ASC) AS r
+    FROM vecs, cents{i} c) WHERE r <= 1
+)""")
+        parts.append(f"""km{i} AS (
+  SELECT cell, list_transform(
+    list_reduce(
+      list_prepend(list_transform(vlist[1], x -> CAST(0.0 AS DOUBLE)), vlist),
+      (acc, x) -> list_transform(acc, (a, j) -> a + x[j])
+    ), s -> s / n) AS cv
+  FROM (SELECT cell, list(v ORDER BY vec_id ASC) AS vlist, COUNT(*) AS n
+        FROM ka{i} GROUP BY cell)
+)""")
+        parts.append(f"""cents{i + 1} AS (
+  SELECT c.cell, COALESCE(m.cv, c.cv) AS cv
+  FROM cents{i} c LEFT JOIN km{i} m ON c.cell = m.cell
+)""")
+    parts.append(f"cents AS (SELECT * FROM cents{n_iters})")
+    return ", ".join(parts)
+
 
 _SIM3_SQL = f"""
 WITH e AS (
@@ -1410,10 +1456,7 @@ WITH e AS (
   SELECT * FROM e WHERE vec_id >= 5
 ), qs AS (
   SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5
-), cents AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS INT) AS cell, v AS cv
-  FROM (SELECT * FROM vecs ORDER BY vec_id ASC LIMIT {_SIM3_N_CELLS})
-), vassign AS (
+), {_ivf_cents_sql(_SIM3_N_CELLS, n_iters=_SIM3_N_ITERS)}, vassign AS (
   SELECT vec_id, v, cell FROM (
     SELECT vecs.vec_id, vecs.v, cents.cell,
            row_number() OVER (PARTITION BY vecs.vec_id
@@ -1450,11 +1493,9 @@ def sim3_ann_ivf(spark, sf_dir):
     )
     vectors = emb.filter(F.col("vec_id") >= 5)
     # config from the measured recall-vs-cost curve (BENCH/ANN.md):
-    # 32 cells / 12 probes = recall@5 0.80 at ~0.375 candidate fraction
-    # — the cheapest >=0.8 point on this corpus (round 2's 16/4 sat at
-    # 0.60 @ 0.257)
+    # see the _SIM3_* constants above
     return ivf_topk(vectors, queries, k=5, n_cells=_SIM3_N_CELLS,
-                    n_probe=_SIM3_N_PROBE)
+                    n_probe=_SIM3_N_PROBE, n_iters=_SIM3_N_ITERS)
 
 
 @demo(

@@ -119,12 +119,15 @@ def ivf_candidates(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    n_iters: int = 2,
+    seed: int = 42,
 ) -> DataFrame:
     """The IVF candidate set: each (query, vector) pair whose vector
     lives in one of the query's ``n_probe`` closest cells. Exposed
     separately so the recall-vs-cost dial can be measured (candidate
     fraction = count / (|Q|·|corpus|)); :func:`ivf_topk` ranks it."""
-    centroids = _centroids(vectors, n_cells, id_col, vec_col)
+    centroids = _centroids(vectors, n_cells, id_col, vec_col,
+                           n_iters=n_iters, seed=seed)
     v_cells = vectors.join(
         _assign_cells(
             vectors.select(id_col, vec_col), centroids, vec_col, [id_col], 1
@@ -153,25 +156,27 @@ def ivf_topk(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    n_iters: int = 2,
+    seed: int = 42,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition vectors into ``n_cells`` cells
     by nearest centroid, then search each query only in its ``n_probe``
     closest cells (exact cosine within).
 
-    Centroids are a deterministic sample of the corpus (the n_cells
-    lowest-id vectors via TakeOrdered — a k-means iteration can refine
-    them on a real cluster, but assignment/probe mechanics, the Spark
-    plan, and the recall/probe trade-off are identical). Scale shape:
-    the centroid table is tiny and BROADCAST twice (once to assign the
-    corpus — a one-time index build that would be written out
-    partitioned by cell — once to route queries); a query then touches
-    ~n_probe/n_cells of the data. All dot products are codegen'd
-    zip_with/aggregate — no Python. Measured recall-vs-cost curve (this
-    corpus's near-uniform embeddings are the hard case): BENCH/ANN.md.
+    Centroids are deterministic k-means (:func:`kmeans_centroids`:
+    md5-sample seeding + ``n_iters`` Lloyd iterations, cross-engine
+    reproducible). Scale shape: the centroid table is tiny and
+    BROADCAST twice (once to assign the corpus — a one-time index
+    build that would be written out partitioned by cell — once to
+    route queries); a query then touches ~n_probe/n_cells of the data.
+    All dot products are codegen'd zip_with/aggregate — no Python.
+    Measured recall-vs-cost curve (this corpus's near-uniform
+    embeddings are the hard case): BENCH/ANN.md.
     """
     j = ivf_candidates(
         vectors, queries, n_cells=n_cells, n_probe=n_probe,
         id_col=id_col, vec_col=vec_col, q_id_col=q_id_col, q_vec_col=q_vec_col,
+        n_iters=n_iters, seed=seed,
     )
     scored = j.select(
         F.col(q_id_col),
@@ -186,16 +191,96 @@ def ivf_topk(
     )
 
 
-def _centroids(vectors, n_cells, id_col, vec_col):
-    c0 = (
-        vectors.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.asc(id_col))
-        .limit(n_cells)
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_cells: int,
+    n_iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    materialize: bool = True,
+) -> DataFrame:
+    """Deterministic k-means centroids, cross-engine reproducible.
+
+    Seeding: the ``n_cells`` vectors with the smallest
+    ``md5(seed|id)`` — a deterministic pseudo-random sample (unbiased,
+    unlike first-n-by-id, which on id-correlated corpora starts every
+    centroid in one corner). Then ``n_iters`` Lloyd iterations:
+    assign each vector to its nearest centroid (rounded-cosine argmax,
+    ties by cell — the same cross-engine-stable rule the IVF probe
+    uses), recompute each centroid as the element-wise mean of its
+    members; a cell that loses all members keeps its previous centroid.
+
+    Reproducibility is the design constraint here (the DuckDB oracle
+    must derive bit-identical centroids): the member mean is computed
+    by a CANONICAL-ORDER fold — members sorted by id, summed
+    left-to-right in double precision — so both engines perform the
+    identical IEEE op sequence. At 100 TB the mean would instead be a
+    two-phase partial aggregation (order-free, one map-side-combined
+    shuffle); the fold is the verification-harness device, and the
+    groupBy itself already hash-partitions by cell, so swapping the
+    agg expression changes no plan shape.
+
+    With ``materialize`` (default) the trained table — n_cells tiny
+    rows — is collected and rebuilt as a literal DataFrame, so the
+    training jobs run ONCE even though downstream evaluates the
+    centroid plan several times (corpus assignment + query routing).
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
     )
+
+    v = vectors.select(
+        F.col(id_col).alias("_kid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_kv"),
+    )
+    h = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("_kid").cast("string")))
+    sample = v.withColumn("_h", h).orderBy(F.asc("_h"), F.asc("_kid")).limit(n_cells)
     # row_number window runs over the already-limited n_cells rows only
-    return c0.select(
-        (F.row_number().over(Window.orderBy(F.asc(id_col))) - 1).alias("cell"),
-        F.col(vec_col).alias("c_vec"),
+    cents = sample.select(
+        (F.row_number().over(Window.orderBy(F.asc("_h"), F.asc("_kid"))) - 1)
+        .cast("int")
+        .alias("cell"),
+        F.col("_kv").alias("c_vec"),
+    )
+    for _ in range(n_iters):
+        assigned = v.join(_assign_cells(v, cents, "_kv", ["_kid"], 1), "_kid")
+        g = assigned.groupBy("cell").agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_kid").alias("i"), F.col("_kv").alias("x")))
+            ).alias("vs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        zero = F.transform(F.element_at(F.col("vs"), 1)["x"], lambda x: F.lit(0.0))
+        summed = F.aggregate(
+            F.col("vs"), zero, lambda acc, s: F.zip_with(acc, s["x"], lambda a, b: a + b)
+        )
+        means = g.select(
+            "cell", F.transform(summed, lambda s: s / F.col("n")).alias("_m")
+        )
+        cents = (
+            cents.join(means, "cell", "left")
+            .select("cell", F.coalesce(F.col("_m"), F.col("c_vec")).alias("c_vec"))
+        )
+    if materialize:
+        rows = cents.collect()
+        return vectors.sparkSession.createDataFrame(
+            [(int(r["cell"]), [float(x) for x in r["c_vec"]]) for r in rows],
+            StructType([
+                StructField("cell", IntegerType()),
+                StructField("c_vec", ArrayType(DoubleType())),
+            ]),
+        )
+    return cents
+
+
+def _centroids(vectors, n_cells, id_col, vec_col, n_iters: int = 2, seed: int = 42):
+    return kmeans_centroids(
+        vectors, n_cells, n_iters=n_iters, seed=seed, id_col=id_col, vec_col=vec_col
     )
 
 
@@ -222,18 +307,24 @@ def build_ivf_index(
     n_cells: int = 32,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_iters: int = 2,
+    seed: int = 42,
 ) -> None:
     """One-time IVF index build, persisted: every vector is written
     under ``path/cells/cell=<c>/`` (parquet, partitioned by its nearest
     centroid cell) and the centroid table under ``path/centroids/``.
 
     This is THE 100 TB shape for similarity search: the expensive
-    corpus assignment runs once, and every subsequent query scans only
-    its probed cells via Spark PARTITION PRUNING on the ``cell=``
-    directory layout — ``n_probe/n_cells`` of the data touched per
-    query, verified on the physical plan (PartitionFilters) in
-    tests/test_operators.py."""
-    centroids = _centroids(vectors, n_cells, id_col, vec_col)
+    k-means training + corpus assignment runs once, and every
+    subsequent query scans only its probed cells via Spark PARTITION
+    PRUNING on the ``cell=`` directory layout — ``n_probe/n_cells`` of
+    the data touched per query, verified on the physical plan
+    (PartitionFilters) in tests/test_operators.py."""
+    import json as _json
+    import os as _os
+
+    centroids = _centroids(vectors, n_cells, id_col, vec_col,
+                           n_iters=n_iters, seed=seed)
     assigned = vectors.join(
         _assign_cells(
             vectors.select(id_col, vec_col), centroids, vec_col, [id_col], 1
@@ -244,6 +335,16 @@ def build_ivf_index(
         f"{path}/cells"
     )
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    _os.makedirs(path, exist_ok=True)
+    with open(f"{path}/meta.json", "w") as f:
+        # schema persisted so queries read the cells scan with it
+        # explicitly — no footer sampling at query time (inference opens
+        # an arbitrary file's footer: extra I/O, and it defeats
+        # partition pruning's isolation from unreadable non-probed
+        # partitions)
+        _json.dump(
+            {"n_cells": n_cells, "schema": assigned.schema.jsonValue()}, f
+        )
 
 
 def query_ivf_index(
@@ -282,8 +383,20 @@ def query_ivf_index(
     q_cells = queries.join(route, q_id_col)
     probed = sorted({int(r["cell"]) for r in routed})
     # .filter(cell IN probed) reaches the scan as a PartitionFilter on
-    # the cell= directory partition — only probed cells are read.
-    cells = spark.read.parquet(f"{path}/cells").filter(
+    # the cell= directory partition — only probed cells are read. The
+    # schema comes from meta.json (see build_ivf_index) so no footer is
+    # sampled outside the probed partitions.
+    import json as _json
+    import os as _os
+
+    reader = spark.read
+    meta_path = f"{path}/meta.json"
+    if _os.path.exists(meta_path):
+        with open(meta_path) as f:
+            reader = reader.schema(
+                StructType.fromJson(_json.load(f)["schema"])
+            )
+    cells = reader.parquet(f"{path}/cells").filter(
         F.col("cell").isin(probed)
     )
     j = cells.join(F.broadcast(q_cells), "cell")

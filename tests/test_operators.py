@@ -307,6 +307,52 @@ def test_ivf_topk_recall_vs_bruteforce(spark):
     assert all(r["rk"] <= 3 for r in rows)
 
 
+def test_kmeans_beats_sampling_on_clusters(spark):
+    """Lloyd refinement (n_iters>0) must buy recall over raw md5-sample
+    seeding on a corpus WITH cluster structure — the case k-means
+    exists for. 8 true cluster directions, probe=1 of 8 cells: sampled
+    seeds can land two-in-one-cluster (splitting/merging cells), Lloyd
+    converges each centroid onto a true cluster mean. The bench corpus
+    (near-uniform) is the opposite case — see BENCH/ANN.md — which is
+    why the sim3 demo ships n_iters=0 while clustered corpora run 2."""
+    import random
+
+    from pyspark.sql import functions as F2
+
+    from tartare_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = random.Random(7)
+    dim, n_clusters, per = 16, 8, 250
+    dirs = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows = []
+    vid = 0
+    for d in dirs:
+        for _ in range(per):
+            rows.append((vid, [x + 0.25 * rng.gauss(0, 1) for x in d]))
+            vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = vecs.filter(F2.col("vec_id") % per < 1).select(
+        F2.col("vec_id").alias("q_id"), F2.col("embedding").alias("q_vec")
+    )  # one query per true cluster
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in brute_force_topk(vecs, queries, k=5).collect()
+    }
+
+    def recall(iters):
+        got = {
+            (r["q_id"], r["vec_id"])
+            for r in ivf_topk(
+                vecs, queries, k=5, n_cells=8, n_probe=1, n_iters=iters
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 == 1.0, (r0, r2)
+    assert r2 > r0, (r0, r2)
+
+
 def test_blob_metadata_plumbing(spark):
     from tartare_spark.operators.multimodal import (
         attach_binary_payload,
