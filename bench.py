@@ -241,6 +241,7 @@ def main() -> None:
     # recall-vs-cost curve lives in BENCH/ANN.md (scripts/ann_curve.py)
     from pyspark.sql import functions as F  # noqa: F811
 
+    from tartare_spark.demos import _SIM3_N_CELLS, _SIM3_N_ITERS, _SIM3_N_PROBE
     from tartare_spark.operators.similarity import ivf_candidates, lsh_candidates
 
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
@@ -265,8 +266,10 @@ def main() -> None:
         if exact
         else None,
         "ann_ivf_cand_fraction": round(
-            ivf_candidates(v_side, q_side, n_cells=32, n_probe=12).count()
-            / n_pairs, 4
+            ivf_candidates(
+                v_side, q_side, n_cells=_SIM3_N_CELLS, n_probe=_SIM3_N_PROBE,
+                n_iters=_SIM3_N_ITERS,
+            ).count() / n_pairs, 4
         ),
     }
 

@@ -31,6 +31,7 @@ BASELINE.json:6); AQE skew-join splitting covers residual join skew.
 
 from __future__ import annotations
 
+import logging
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,6 +40,8 @@ from pyspark.sql import functions as F
 from tartare_spark.lake.table import LakeTable, bucket_expr
 from tartare_spark.operators.dedup import dedup_latest_lsn
 from tartare_spark.operators.merge import merge_upserts
+
+logger = logging.getLogger(__name__)
 
 EVENT_COLS = ["lsn", "op", "repo", "path", "commit", "lang", "content", "ts"]
 
@@ -61,18 +64,24 @@ def feed_as_changelog(feed: DataFrame) -> DataFrame:
 
 
 def manifest_watermark_fence(
-    ev: DataFrame, lake: LakeTable, allowed_lateness: int = 0
+    ev: DataFrame, lake: LakeTable, allowed_lateness: int = 0,
+    broadcast_threshold: int = 4096,
 ) -> DataFrame:
     """JVM-side redelivery fence: drop events at-or-below the lake's
     per-bucket applied-LSN watermark (read from the CURRENT manifest,
     driver-side, ≤num_buckets entries) before any shuffle.
 
-    The watermark map becomes a ``create_map`` literal — a pure
-    codegen'd filter evaluated map-side during the scan: zero extra
-    shuffle, zero state store, and (unlike the T5 state-store fence,
-    which must shuffle by key first) the dropped redeliveries never
-    enter the dedup exchange at all. For tables with very many buckets
-    (>~10k) swap the literal map for a broadcast join on ``_bucket``.
+    Up to ``broadcast_threshold`` buckets the watermark map becomes a
+    ``create_map`` literal — a pure codegen'd filter evaluated map-side
+    during the scan: zero extra shuffle, zero state store, and (unlike
+    the T5 state-store fence, which must shuffle by key first) the
+    dropped redeliveries never enter the dedup exchange at all. Past
+    the threshold a literal map is a plan-size/codegen hazard (tens of
+    thousands of expression nodes), so the watermarks become a tiny
+    broadcast-joined DataFrame instead — still zero shuffle on the
+    event side (BroadcastHashJoin), one broadcast of ≤num_buckets
+    (int, long) rows. Both forms drop exactly the same rows
+    (tests/test_streaming.py::test_manifest_fence_broadcast_form).
 
     Contract (same shape as Spark's event-time watermark): an event is
     dropped only when its LSN is ≤ its bucket's applied watermark minus
@@ -97,16 +106,31 @@ def manifest_watermark_fence(
     wm = {int(b): int(v) for b, v in m["bucket_lsn"].items()}
     if not wm:
         return ev
-    entries: list = []
-    for b, v in sorted(wm.items()):
-        entries += [F.lit(b), F.lit(v - int(allowed_lateness))]
-    wm_map = F.create_map(*entries)
     floor = F.lit(-(2**63)).cast("long")
     # layout from the SAME manifest the watermarks came from (not the
     # instance cache) — a stale handle after a rebucket must not compare
     # events against the wrong bucket's watermark
     b = bucket_expr(int(m.get("num_buckets", lake.num_buckets)))
-    return ev.filter(F.col("lsn") > F.coalesce(wm_map[b], floor))
+    if len(wm) <= int(broadcast_threshold):
+        entries: list = []
+        for bk, v in sorted(wm.items()):
+            entries += [F.lit(bk), F.lit(v - int(allowed_lateness))]
+        wm_map = F.create_map(*entries)
+        return ev.filter(F.col("lsn") > F.coalesce(wm_map[b], floor))
+    wm_df = ev.sparkSession.createDataFrame(
+        [(bk, v - int(allowed_lateness)) for bk, v in sorted(wm.items())],
+        "_fence_b int, _fence_wm long",
+    )
+    return (
+        ev.withColumn("_fence_b", b)
+        .join(
+            F.broadcast(wm_df),
+            on="_fence_b",
+            how="left",
+        )
+        .filter(F.col("lsn") > F.coalesce(F.col("_fence_wm"), floor))
+        .select(*ev.columns)
+    )
 
 
 def _phys_projection(staged: DataFrame) -> DataFrame:
@@ -155,8 +179,54 @@ def apply_batch(
         return rec
 
     ev = events.select(*EVENT_COLS)
+    fence_stats: dict | None = None
     if lsn_fence == "manifest":
-        ev = manifest_watermark_fence(ev, lake, allowed_lateness=fence_lateness)
+        # Out-of-order-source detector: the fence's documented contract
+        # (in-order tail, bounded reordering) is load-bearing — a
+        # misdeployed source (e.g. same-mtime file listing flipping
+        # chunk order) silently loses rows. In-order delivery makes
+        # per-batch max LSNs nondecreasing WITHIN a run (a crash-resume
+        # or intentional replay starts a fresh run and a fresh
+        # high-water, so redelivery never false-trips); a batch whose
+        # pre-fence max falls below the run's observed high-water minus
+        # the lateness slack is a contract violation — warn + record.
+        # Cost: one column-pruned (lsn-only) agg per batch; the dropped
+        # count's second agg runs only on anomaly.
+        # Residual gap, deliberate: a fence_lateness set BELOW the
+        # source's true reordering horizon drops late-but-new rows while
+        # batch maxes stay monotone — undetectable from LSN aggregates
+        # alone (it needs a per-key check, i.e. the T5 stateful fence,
+        # or an audit join of dropped rows vs applied state). Validate
+        # the horizon against the source's spec when setting lateness.
+        pre = ev.agg(
+            F.count(F.lit(1)).alias("n"), F.max("lsn").alias("mx")
+        ).collect()[0]
+        fenced = manifest_watermark_fence(
+            ev, lake, allowed_lateness=fence_lateness
+        )
+        prev = getattr(lake, "_fence_prev_batch_max", None)
+        mx = pre["mx"]
+        if prev is not None and mx is not None and int(mx) < prev - fence_lateness:
+            dropped = int(pre["n"]) - fenced.count()
+            fence_stats = {
+                "fence_order_anomaly": True,
+                "fence_order_dropped_rows": dropped,
+                "fence_batch_max_lsn": int(mx),
+                "fence_run_high_water_lsn": int(prev),
+            }
+            logger.warning(
+                "manifest fence: batch %s max LSN %s is below this run's "
+                "high-water %s - lateness %s — the source looks "
+                "OUT-OF-ORDER; %s fenced rows in this batch may be new "
+                "data being dropped, not redelivery. Ship chunks with "
+                "monotone mtimes or raise fence_lateness.",
+                batch_id, int(mx), prev, fence_lateness, dropped,
+            )
+        if mx is not None:
+            lake._fence_prev_batch_max = (
+                max(prev, int(mx)) if prev is not None else int(mx)
+            )
+        ev = fenced
     elif lsn_fence is not None:
         raise ValueError(f"unknown lsn_fence {lsn_fence!r} (use 'manifest')")
 
@@ -220,6 +290,8 @@ def apply_batch(
             if not bstats:
                 rec = {"batch_id": batch_id, "skipped": False, "rows": 0,
                        "empty": True, "seconds": time.time() - t0}
+                if fence_stats:
+                    rec.update(fence_stats)
                 lake.append_metrics(rec)
                 return rec
             touched = sorted(int(r["_bucket"]) for r in bstats)
@@ -298,6 +370,8 @@ def apply_batch(
             else None
         ),
     }
+    if fence_stats:
+        rec.update(fence_stats)
     lake.append_metrics(rec)
     if compact_worst:
         # maintenance AFTER the batch's metrics record: the commit is

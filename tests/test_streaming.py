@@ -172,6 +172,115 @@ def test_manifest_fence_per_bucket_isolation(spark, tmp_path):
     assert (kb, "f.py") in snap and (ka, "f.py") in snap
 
 
+def test_manifest_fence_broadcast_form(spark, tmp_path):
+    """Past ``broadcast_threshold`` buckets the fence must switch from a
+    create_map literal (a plan-size/codegen hazard at 20k entries) to a
+    broadcast join: plan carries a BroadcastHashJoin and stays small.
+    Both forms must drop exactly the same rows."""
+    from tartare_spark.operators.apply import manifest_watermark_fence
+
+    ts = "2024-01-01 00:00:00"
+
+    def ev_df(rows):
+        df = spark.createDataFrame(
+            [(lsn, "update", r, p, f"c{lsn}", "py", f"body-{lsn}", ts)
+             for (lsn, r, p) in rows],
+            "lsn long, op string, repo string, path string, commit string,"
+            " lang string, content string, ts string",
+        )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    class WideLake:
+        num_buckets = 20000
+
+        def manifest(self):
+            return {
+                "num_buckets": 20000,
+                "bucket_lsn": {str(b): 50 for b in range(20000)},
+            }
+
+    ev = ev_df([(lsn, f"r{lsn}", "f.py") for lsn in (5, 50, 51, 200)])
+    fenced = manifest_watermark_fence(ev, WideLake())
+    plan = fenced._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # no 20k-entry literal map: 40k expression nodes would dwarf this
+    assert len(plan) < 20_000, len(plan)
+    assert sorted(r["lsn"] for r in fenced.collect()) == [51, 200]
+    assert fenced.columns == ev.columns  # shape-preserving
+
+    # row-equivalence of the two forms on a real lake manifest
+    from tartare_spark.operators.apply import apply_batch
+
+    lake = LakeTable.create(str(tmp_path / "lake_bf"), num_buckets=8)
+    apply_batch(
+        spark, lake,
+        ev_df([(100, f"r{i}", "f.py") for i in range(12)]), batch_id=0,
+    )
+    batch2 = ev_df(
+        [(lsn, f"r{i}", "f.py") for i, lsn in enumerate((40, 99, 100, 101, 250))]
+    )
+    for lateness in (0, 10):
+        lit_rows = {
+            (r["lsn"], r["repo"])
+            for r in manifest_watermark_fence(
+                batch2, lake, allowed_lateness=lateness
+            ).collect()
+        }
+        bc_rows = {
+            (r["lsn"], r["repo"])
+            for r in manifest_watermark_fence(
+                batch2, lake, allowed_lateness=lateness, broadcast_threshold=0
+            ).collect()
+        }
+        assert lit_rows == bc_rows, (lateness, lit_rows, bc_rows)
+
+
+def test_manifest_fence_out_of_order_detector(spark, tmp_path):
+    """The fence's in-order delivery contract becomes a runtime CHECK:
+    a batch whose max LSN falls below the run's high-water (the
+    same-mtime chunk-flip failure shape) records fence_order_anomaly
+    with the dropped-row count; an in-order run — and a fresh-run
+    replay over a populated lake (redelivery) — never trips it."""
+    from tartare_spark.operators.apply import apply_batch
+
+    ts = "2024-01-01 00:00:00"
+
+    def chunk(lo, hi):
+        df = spark.createDataFrame(
+            [(lsn, "update", f"r{lsn}", "f.py", f"c{lsn}", "py",
+              f"body-{lsn}", ts) for lsn in range(lo, hi)],
+            "lsn long, op string, repo string, path string, commit string,"
+            " lang string, content string, ts string",
+        )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def anomalies(lake):
+        return [m for m in lake.metrics() if m.get("fence_order_anomaly")]
+
+    # in-order source: never trips
+    ordered = LakeTable.create(str(tmp_path / "ordered"), num_buckets=4)
+    apply_batch(spark, ordered, chunk(0, 50), 0, lsn_fence="manifest")
+    apply_batch(spark, ordered, chunk(50, 100), 1, lsn_fence="manifest")
+    assert anomalies(ordered) == []
+
+    # chunk order flipped (the same-mtime listing failure): trips, and
+    # counts the silently-lost rows
+    flipped = LakeTable.create(str(tmp_path / "flipped"), num_buckets=4)
+    apply_batch(spark, flipped, chunk(50, 100), 0, lsn_fence="manifest")
+    apply_batch(spark, flipped, chunk(0, 50), 1, lsn_fence="manifest")
+    hits = anomalies(flipped)
+    assert len(hits) == 1
+    assert hits[0]["fence_order_dropped_rows"] == 50
+    assert hits[0]["fence_batch_max_lsn"] == 49
+    assert hits[0]["fence_run_high_water_lsn"] == 99
+
+    # intentional replay on a FRESH run (new handle, e.g. crash-resume
+    # or fresh-checkpoint replay): high-water resets, no false trip
+    replay_handle = LakeTable(str(tmp_path / "ordered"))
+    apply_batch(spark, replay_handle, chunk(0, 100), 2, lsn_fence="manifest")
+    assert anomalies(replay_handle) == []
+
+
 def test_streaming_watermark_dedup_path(spark, unit_events_dir, tmp_path, expected):
     """T2: the withWatermark + dropDuplicatesWithinWatermark path yields
     the same final state (dedup is belt-and-braces over the LWW merge)."""
