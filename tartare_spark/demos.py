@@ -977,6 +977,36 @@ def e4_evolve_drop_column(spark, sf_dir):
 
 
 @demo(
+    "e5_evolve_widen_column",
+    "SELECT n_nationkey, n_name, CAST(n_regionkey AS BIGINT) AS n_regionkey "
+    "FROM nation",
+)
+def e5_evolve_widen_column(spark, sf_dir):
+    """E5 metadata-only type widening (Iceberg parity: int -> long):
+    physical files keep int32 n_regionkey forever; snapshots at/after
+    the widen's effective LSN read it CAST to bigint. The driver's
+    value hash is type-sensitive, so the oracle's CAST AS BIGINT pins
+    that the widening actually happened."""
+    from tartare_spark.registry import SchemaRegistry
+
+    reg = SchemaRegistry(
+        [
+            {"version": 1, "effective_lsn": 0, "action": "base", "column": None,
+             "renamed_from": None, "default_expr": None},
+            {"version": 2, "effective_lsn": 5, "action": "widen",
+             "column": "n_regionkey", "renamed_from": None,
+             "default_expr": None, "target_type": "bigint"},
+        ]
+    )
+    nation = T(spark, sf_dir, "nation")
+    out = reg.apply_read(nation, watermark=10)
+    assert dict(out.dtypes)["n_regionkey"] == "bigint"
+    # time travel below the widen's effective LSN keeps the narrow type
+    assert dict(reg.apply_read(nation, watermark=2).dtypes)["n_regionkey"] == "int"
+    return out.select("n_nationkey", "n_name", "n_regionkey")
+
+
+@demo(
     "e2_evolve_rename_column",
     "SELECT r_regionkey, r_name AS region_name FROM region",
 )

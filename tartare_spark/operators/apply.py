@@ -158,6 +158,7 @@ def apply_batch(
     registry=None,
     lsn_fence: str | None = None,
     fence_lateness: int = 0,
+    cow_changelog: bool = True,
 ) -> dict:
     """Apply one micro-batch of change events. Idempotent by batch_id.
     Returns a metrics record (also appended to the lake's metrics log).
@@ -166,6 +167,15 @@ def apply_batch(
     (with ``fence_lateness`` slack) to the batch before staging —
     rebuilt per batch, so it always reflects the latest committed
     watermarks.
+
+    ``cow_changelog=False`` skips the CoW changed-key sidecar write
+    (an extra O(batch) write pass, zero extra exchanges); ``changes()``
+    then falls back to the snapshot-diff path for those commits.
+    Measured overhead is the per-batch constant of one extra write job
+    — +17% of a 4-chunk sf0.1 replay wall, shrinking as batch volume
+    grows (BENCH/BASELINE.md round-4 addenda) — the Delta-CDF trade:
+    pay at write time so the feed reads O(changed rows). No effect in
+    MOR mode, whose delta files double as the change feed.
     """
     t0 = time.time()
     if batch_id <= lake.last_batch_id():
@@ -271,11 +281,22 @@ def apply_batch(
             ]
     else:
         # copy-on-write needs the touched-bucket set BEFORE reading the
-        # target (partition pruning), so staged feeds two jobs: a small
-        # bucket-stats collect (≤num_buckets rows — scale-independent),
-        # then the MERGE rewrite. persist() runs the dedup shuffle once.
-        staged = dedup_latest_lsn(ev, keys=["repo", "path"], order_col="lsn")
-        staged = staged.withColumn("_bucket", bucket_expr(lake.num_buckets))
+        # target (partition pruning), so staged feeds three jobs: a
+        # small bucket-stats collect (≤num_buckets rows —
+        # scale-independent), the changed-key sidecar write, and the
+        # MERGE rewrite. Like the MOR path, the ONE exchange is the
+        # up-front repartition by _bucket: the dedup groups by
+        # (_bucket, repo, path) exchange-free (HashPartitioning subset
+        # rule), the bucket-stats agg and the sidecar write inherit the
+        # bucket layout shuffle-free, and the merge join is co-located
+        # on _bucket (on_bucket=True) so the staged side enters the
+        # full-outer join without another exchange. persist() runs the
+        # shuffle once for all three consumers.
+        ev_b = ev.withColumn("_bucket", bucket_expr(lake.num_buckets))
+        part = ev_b.repartition(max(lake.num_buckets, 1), "_bucket")
+        staged = dedup_latest_lsn(
+            part, keys=["_bucket", "repo", "path"], order_col="lsn"
+        )
         staged = staged.persist()
         try:
             bstats = (
@@ -316,15 +337,18 @@ def apply_batch(
             # data files.)
             import uuid as _uuid
 
-            sidecars = lake._write_data_files(
+            sidecars = {} if not cow_changelog else lake._write_data_files(
                 _phys_projection(staged),
                 f"cdc-{batch_id}-{_uuid.uuid4().hex[:8]}",
                 len(touched),
+                pre_partitioned=True,
                 blooms=False,
                 codec="lz4",
             )
             target = lake.read_raw(spark, buckets=touched)
-            merged = merge_upserts(target, staged.drop("_bucket"), lake.num_buckets)
+            merged = merge_upserts(
+                target, staged, lake.num_buckets, on_bucket=True
+            )
             committed = lake.write_and_commit(
                 merged,
                 batch_id=batch_id,
@@ -402,6 +426,7 @@ def replay_batches(
     num_chunks: int = 10,
     registry=None,
     start_batch_id: int = 0,
+    **apply_kwargs,
 ) -> list[dict]:
     """Entry B — bounded batch replay: split an event DataFrame into
     LSN-ordered chunks and apply them in order (used by tests and the
@@ -426,7 +451,8 @@ def replay_batches(
             chunk = events.filter((F.col("lsn") >= a) & (F.col("lsn") < b))
             out.append(
                 apply_batch(
-                    spark, lake, chunk, batch_id=start_batch_id + i, registry=registry
+                    spark, lake, chunk, batch_id=start_batch_id + i,
+                    registry=registry, **apply_kwargs,
                 )
             )
     finally:

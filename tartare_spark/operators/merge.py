@@ -28,13 +28,22 @@ from tartare_spark.lake.table import bucket_expr
 
 
 def merge_upserts(
-    target_raw: DataFrame, staged: DataFrame, num_buckets: int
+    target_raw: DataFrame, staged: DataFrame, num_buckets: int,
+    on_bucket: bool = False,
 ) -> DataFrame:
     """target_raw: physical lake rows (incl. tombstones) of the touched
     buckets. staged: ONE change per key (post-A1), columns
     lsn/op/repo/path/commit/lang/content. Returns the new physical rows
-    for the touched buckets (copy-on-write output, incl. tombstones)."""
-    t = target_raw.select(
+    for the touched buckets (copy-on-write output, incl. tombstones).
+
+    ``on_bucket=True`` (both inputs must carry ``_bucket``) adds the
+    bucket to the join keys — a semantic no-op (``_bucket`` is a pure
+    function of the key), but it lets a staged side that is ALREADY
+    hash-partitioned by ``_bucket`` flow into the join exchange-free
+    (HashPartitioning on a subset of the join keys satisfies the
+    clustered distribution), and the output keeps the bucket without
+    recomputing the hash."""
+    t_cols = [
         F.col("repo").alias("t_repo"),
         F.col("path").alias("t_path"),
         F.col("commit").alias("t_commit"),
@@ -44,8 +53,8 @@ def merge_upserts(
         F.col("_deleted").alias("t_deleted"),
         F.col("_content_sha").alias("t_sha"),
         F.col("_ts").alias("t_ts"),
-    )
-    s = staged.select(
+    ]
+    s_cols = [
         F.col("repo").alias("s_repo"),
         F.col("path").alias("s_path"),
         F.col("commit").alias("s_commit"),
@@ -54,12 +63,16 @@ def merge_upserts(
         F.col("lsn").alias("s_lsn"),
         F.col("op").alias("s_op"),
         F.col("ts").alias("s_ts"),
-    )
-    j = t.join(
-        s,
-        (t["t_repo"] == s["s_repo"]) & (t["t_path"] == s["s_path"]),
-        "full_outer",
-    )
+    ]
+    if on_bucket:
+        t_cols.append(F.col("_bucket").alias("t_bucket"))
+        s_cols.append(F.col("_bucket").alias("s_bucket"))
+    t = target_raw.select(*t_cols)
+    s = staged.select(*s_cols)
+    cond = (t["t_repo"] == s["s_repo"]) & (t["t_path"] == s["s_path"])
+    if on_bucket:
+        cond = (t["t_bucket"] == s["s_bucket"]) & cond
+    j = t.join(s, cond, "full_outer")
     staged_wins = F.col("s_lsn").isNotNull() & (
         F.col("t_lsn").isNull() | (F.col("s_lsn") > F.col("t_lsn"))
     )
@@ -78,8 +91,15 @@ def merge_upserts(
         .otherwise(F.col("t_sha"))
         .alias("_content_sha"),
         pick("s_ts", "t_ts").alias("_ts"),
+        *(
+            [F.coalesce("s_bucket", "t_bucket").cast("int").alias("_bucket")]
+            if on_bucket
+            else []
+        ),
     )
-    return out.withColumn("_bucket", bucket_expr(num_buckets))
+    if not on_bucket:
+        out = out.withColumn("_bucket", bucket_expr(num_buckets))
+    return out
 
 
 def conditional_filter(staged: DataFrame, target_raw: DataFrame) -> DataFrame:

@@ -25,10 +25,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Iceberg-parity widening promotions (metadata-only, lossless): an
+# integral type may widen to any wider integral, float to double.
+# Anything else (narrowing, cross-family, string) is NOT an evolution —
+# it needs a rewrite — and raises at read time rather than corrupting.
+_INT_RANK = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+_TYPE_ALIASES = {
+    "tinyint": "byte", "smallint": "short", "int": "integer",
+    "bigint": "long",
+}
+
+
+def _check_widen(src_name: str, dst_name: str, column: str) -> None:
+    src = _TYPE_ALIASES.get(src_name, src_name)
+    dst = _TYPE_ALIASES.get(dst_name, dst_name)
+    if src == dst:
+        return
+    if src in _INT_RANK and dst in _INT_RANK and _INT_RANK[src] < _INT_RANK[dst]:
+        return
+    if (src, dst) == ("float", "double"):
+        return
+    raise ValueError(
+        f"widen {column}: {src_name} -> {dst_name} is not a lossless "
+        "widening promotion (allowed: integral -> wider integral, "
+        "float -> double)"
+    )
+
+
 class SchemaRegistry:
     def __init__(self, rows: list[dict]):
         """``rows``: dicts with version, effective_lsn, action
-        (base|add|rename|drop), column, renamed_from, default_expr."""
+        (base|add|rename|drop|widen), column, renamed_from,
+        default_expr; ``widen`` rows carry ``target_type`` (e.g.
+        ``"bigint"``, ``"double"``)."""
         self.rows = sorted(rows, key=lambda r: int(r["version"]))
 
     # -- metadata ------------------------------------------------------
@@ -60,6 +89,21 @@ class SchemaRegistry:
                 old, new = r["renamed_from"], r["column"]
                 if old in df.columns:
                     df = df.withColumnRenamed(old, new)
+            elif r["action"] == "widen":
+                # E5 metadata-only type widening (Iceberg parity:
+                # int -> long, float -> double): physical files keep the
+                # narrow type forever; snapshots at/after the effective
+                # LSN read the column CAST to the wider type. Time
+                # travel below the boundary still sees the narrow type.
+                # The pandas referee needs no counterpart: its int64/
+                # float64 dtypes are already the widened shape.
+                col = r["column"]
+                if col in df.columns:
+                    target = r["target_type"]
+                    _check_widen(
+                        df.schema[col].dataType.typeName(), target, col
+                    )
+                    df = df.withColumn(col, F.col(col).cast(target))
             elif r["action"] == "drop":
                 # metadata-only drop (Iceberg-style): the physical column
                 # stays in the files; snapshots at/after the effective

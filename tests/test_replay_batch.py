@@ -110,6 +110,58 @@ def test_replay_with_registry(spark, unit_events, tmp_path):
     assert_state_equals_referee(spark, lake, reg_rows=reg_rows)
 
 
+def test_e5_widen_boundary_mid_replay(spark, tmp_path):
+    """E5 type widening across a mid-replay boundary: a registry adds a
+    derived int column, then widens it to bigint at LSN 50. A snapshot
+    whose watermark sits below the boundary reads int; once the replay
+    crosses it, the SAME physical files read bigint with identical
+    values — metadata-only, no rewrite. Narrowing raises."""
+    ts = "2024-01-01 00:00:00"
+
+    def chunk(lo, hi):
+        df = spark.createDataFrame(
+            [(lsn, "update", f"r{lsn}", "f.py", f"c{lsn}", "py",
+              "x" * (lsn % 7 + 1), ts) for lsn in range(lo, hi)],
+            "lsn long, op string, repo string, path string, commit string,"
+            " lang string, content string, ts string",
+        )
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+    reg = SchemaRegistry([
+        {"version": 1, "effective_lsn": 0, "action": "base", "column": None,
+         "renamed_from": None, "default_expr": None},
+        {"version": 2, "effective_lsn": 0, "action": "add",
+         "column": "content_len", "renamed_from": None,
+         "default_expr": "CAST(length(content) AS INT)"},
+        {"version": 3, "effective_lsn": 50, "action": "widen",
+         "column": "content_len", "renamed_from": None,
+         "default_expr": None, "target_type": "bigint"},
+    ])
+    lake = LakeTable.create(str(tmp_path / "lake_widen"), num_buckets=4)
+    apply_batch(spark, lake, chunk(1, 50), 0, registry=reg)
+    before = lake.snapshot(spark, registry=reg)
+    assert dict(before.dtypes)["content_len"] == "int"
+
+    apply_batch(spark, lake, chunk(50, 101), 1, registry=reg)
+    after = lake.snapshot(spark, registry=reg)
+    assert dict(after.dtypes)["content_len"] == "bigint"
+    rows = after.select("content", "content_len").collect()
+    assert rows and all(r["content_len"] == len(r["content"]) for r in rows)
+    # time travel below the boundary still reads the narrow type
+    early = lake.snapshot(spark, version=1, registry=reg)
+    assert dict(early.dtypes)["content_len"] == "int"
+
+    bad = SchemaRegistry([
+        {"version": 1, "effective_lsn": 0, "action": "base", "column": None,
+         "renamed_from": None, "default_expr": None},
+        {"version": 2, "effective_lsn": 0, "action": "widen",
+         "column": "_lsn", "renamed_from": None, "default_expr": None,
+         "target_type": "int"},
+    ])
+    with pytest.raises(ValueError, match="widening"):
+        bad.apply_read(lake.snapshot(spark), 10).schema
+
+
 def test_lineage_monotonic(spark, unit_events, tmp_path):
     lake = LakeTable.create(str(tmp_path / "lake4"), num_buckets=8)
     replay_batches(spark, lake, unit_events, num_chunks=5)
