@@ -158,6 +158,7 @@ def apply_batch(
     registry=None,
     lsn_fence: str | None = None,
     fence_lateness: int = 0,
+    fence_order_check: bool = True,
     cow_changelog: bool = True,
 ) -> dict:
     """Apply one micro-batch of change events. Idempotent by batch_id.
@@ -208,14 +209,18 @@ def apply_batch(
         # alone (it needs a per-key check, i.e. the T5 stateful fence,
         # or an audit join of dropped rows vs applied state). Validate
         # the horizon against the source's spec when setting lateness.
+        # (fence_order_check=False skips the agg — for latency-critical
+        # deployments that have validated their source's ordering out of
+        # band; it costs ~one small job per trigger, which a design-point
+        # batch amortizes.)
         pre = ev.agg(
             F.count(F.lit(1)).alias("n"), F.max("lsn").alias("mx")
-        ).collect()[0]
+        ).collect()[0] if fence_order_check else None
         fenced = manifest_watermark_fence(
             ev, lake, allowed_lateness=fence_lateness
         )
         prev = getattr(lake, "_fence_prev_batch_max", None)
-        mx = pre["mx"]
+        mx = pre["mx"] if pre is not None else None
         if prev is not None and mx is not None and int(mx) < prev - fence_lateness:
             dropped = int(pre["n"]) - fenced.count()
             fence_stats = {

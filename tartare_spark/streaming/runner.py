@@ -43,6 +43,7 @@ def run_stream(
     stateful_fence: bool = False,
     manifest_fence: bool = False,
     fence_lateness: int = 0,
+    fence_order_check: bool = True,
 ):
     """Tail ``events_dir`` (parquet file stream) into ``lake``.
 
@@ -83,6 +84,7 @@ def run_stream(
             spark, lake, batch_df, batch_id, registry=registry,
             lsn_fence="manifest" if manifest_fence else None,
             fence_lateness=fence_lateness,
+            fence_order_check=fence_order_check,
         )
 
     # unique per-run query name: the progress listener filters on it,
