@@ -123,6 +123,22 @@ def cmd_vacuum(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    lake = _lake(args)
+    cols = [c for c in args.cols.split(",") if c]
+    n = lake.analyze(cols)
+    print(
+        json.dumps(
+            {
+                "analyzed_files": n,
+                "stats_cols": cols,
+                "lake_version": lake.current_version(),
+            }
+        )
+    )
+    return 0
+
+
 def cmd_expire(args) -> int:
     lake = _lake(args)
     n = lake.expire_snapshots(keep_last=args.keep_last)
@@ -251,6 +267,16 @@ def build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("vacuum", help="delete unreferenced orphan data files")
     v.add_argument("--lake", required=True)
     v.set_defaults(fn=cmd_vacuum)
+
+    an = sub.add_parser(
+        "analyze",
+        help="build manifest zone maps (per-file min/max) for columns",
+    )
+    an.add_argument("--lake", required=True)
+    an.add_argument(
+        "--cols", required=True, help="comma-separated column names"
+    )
+    an.set_defaults(fn=cmd_analyze)
 
     e = sub.add_parser("expire", help="expire snapshots beyond a retention window")
     e.add_argument("--lake", required=True)

@@ -106,6 +106,41 @@ def cdc_apply_current_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# same LWW state, restricted post-merge — the predicate a zone-mapped
+# scan must reproduce exactly
+_S9_SQL = _CDC_SQL.replace(
+    "WHERE op <> 'delete'",
+    "WHERE op <> 'delete' AND _lsn >= 500 AND repo <= 'repo_5'",
+)
+
+
+@demo("s9_stats_pruned_scan", _S9_SQL)
+def s9_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest zone maps end-to-end: replay → compact → ``analyze()``
+    (per-file min/max into the manifest) → ``scan_where`` prunes base
+    files driver-side before any Spark job, then applies the residual
+    predicate. Same engine invariants as the flagship demo; the oracle
+    is the flagship LWW state with the predicate applied after the
+    merge — which is exactly what file pruning must preserve."""
+    from tartare_spark.lake.table import LakeTable
+    from tartare_spark.operators.apply import replay_batches
+
+    ch = _events_as_changelog(spark, sf_dir)
+    import shutil
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"tartare_demo_zonemap_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    lake = LakeTable.create(os.path.join(root, "lake"), num_buckets=16)
+    replay_batches(spark, lake, ch, num_chunks=2)
+    lake.compact(spark)  # all buckets clean → every file file-prunable
+    lake.analyze(["_lsn", "repo"])
+    return lake.scan_where(
+        spark, {"_lsn": (500, None), "repo": (None, "repo_5")}
+    ).select("repo", "path", "commit", "content", "_lsn", "_content_sha")
+
+
 # ======================================================================
 # 2.1 scans / sources / sinks
 # ======================================================================

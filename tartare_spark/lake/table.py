@@ -768,6 +768,101 @@ class LakeTable:
         )
         return len(delta_buckets)
 
+    def analyze(self, cols: list[str]) -> int:
+        """Maintenance commit that turns the manifest into a ZONE MAP
+        for ``cols``: per-base-file [min, max] recovered from parquet
+        footers and stored in ``manifest["file_stats"]`` (Iceberg
+        manifest-column-stats parity). From this commit on, EVERY
+        publish keeps the map current automatically (``_publish``
+        carries entries forward, drops de-referenced files, back-fills
+        newly written base files) — analyze is run once, not per batch.
+
+        Driver-side metadata only: ``scan_where`` then prunes files
+        against a selective predicate without touching ANY data file —
+        at the 100 TB design point that is the difference between a
+        manifest lookup and opening a few hundred thousand parquet
+        footers. Numeric and string columns only (loud TypeError
+        otherwise). Returns the number of files analyzed."""
+        prev = self.manifest()
+        self._assert_layout(prev)
+        n_files = sum(len(fl) for fl in prev.get("files", {}).values())
+        self._publish(
+            prev,
+            batch_id=prev["batch_id"],
+            files=prev["files"],
+            deltas=prev.get("deltas", {}),
+            bucket_lsn_updates={},
+            schema_version=None,
+            extra_stats={"analyze": True, "cols": list(cols)},
+            stats_cols=list(cols),
+        )
+        return n_files
+
+    def scan_where(
+        self,
+        spark: SparkSession,
+        bounds: dict[str, tuple],
+        version: int | None = None,
+    ) -> DataFrame:
+        """Snapshot restricted to ``bounds`` (col → (lo, hi) inclusive,
+        either side None = unbounded), with FILE-LEVEL pruning from the
+        manifest zone map built by ``analyze()``.
+
+        Pruning is applied ONLY to clean buckets' base files, where the
+        engine's standing invariant (one LWW-resolved row per key — the
+        same invariant that lets ``read_raw`` skip dedup there) makes a
+        per-file predicate exact. Dirty buckets are read IN FULL, LWW-
+        resolved, then filtered: skipping a dirty bucket's file by a
+        payload predicate could resurrect an older version of a key
+        whose latest row lives in the skipped file, so the zone map is
+        never consulted for them. Files without stats (pre-analyze,
+        all-null groups, dropped oversized string stats) are always
+        read. The residual predicate is applied to every surviving row,
+        so pruning can only remove whole files the predicate already
+        excludes — never change the answer."""
+        m = self.manifest(version)
+        fstats = m.get("file_stats", {})
+        dirty = {b for b, fl in m.get("deltas", {}).items() if fl}
+        clean_b = [int(b) for b in m.get("files", {}) if b not in dirty]
+        kept = [
+            p
+            for p in self._files(clean_b, manifest=m)
+            if _stats_admit(fstats.get(p), bounds)
+        ]
+        dirty_b = [int(b) for b in dirty]
+        dirty_files = self._files(dirty_b, manifest=m) + self._files(
+            dirty_b, kind="deltas", manifest=m
+        )
+        residual = F.lit(True)
+        for c, (lo, hi) in bounds.items():
+            if lo is not None:
+                residual = residual & (F.col(c) >= F.lit(lo))
+            if hi is not None:
+                residual = residual & (F.col(c) <= F.lit(hi))
+        frames = []
+        if dirty_files:
+            from tartare_spark.operators.dedup import dedup_latest_lsn
+
+            frames.append(
+                dedup_latest_lsn(
+                    spark.read.parquet(*dirty_files),
+                    keys=["repo", "path"],
+                    order_col="_lsn",
+                ).filter(residual)
+            )
+        if kept:
+            frames.append(spark.read.parquet(*kept).filter(residual))
+        if not frames:
+            from tartare_spark.lake.schema import RAW_LAKE_SCHEMA
+
+            frames = [
+                spark.createDataFrame([], RAW_LAKE_SCHEMA).drop("_bucket")
+            ]
+        df = frames[0]
+        for extra in frames[1:]:
+            df = df.unionByName(extra)
+        return df.filter(~F.col("_deleted")).drop("_ts", "_deleted")
+
     def rebucket(self, spark: SparkSession, new_num_buckets: int) -> int:
         """Partition evolution (Iceberg bucket-spec change): rewrite the
         table into ``new_num_buckets`` buckets — for a table that
@@ -880,6 +975,7 @@ class LakeTable:
         extra_stats: dict | None,
         replace_bucket_lsn: bool = False,
         changelog: list[str] | None = None,
+        stats_cols: list[str] | None = None,
     ) -> None:
         if replace_bucket_lsn:
             # rebucket: old bucket ids are meaningless under the new
@@ -903,6 +999,32 @@ class LakeTable:
         if changelog is not None:
             # THIS commit's changed-key sidecar files (not cumulative)
             manifest["changelog"] = changelog
+        # zone-map maintenance (Iceberg manifest-stats parity): once
+        # ``analyze()`` has set ``stats_cols``, every commit carries
+        # per-BASE-file min/max forward, drops entries for files no
+        # longer referenced, and back-fills stats for base files that
+        # lack them (one concurrent footer sweep over the NEW files
+        # only — ~10 ms; zero files are missing on the MOR apply hot
+        # path, where commits touch deltas, not base files).
+        eff_cols = stats_cols if stats_cols is not None else prev.get("stats_cols")
+        if eff_cols:
+            manifest["stats_cols"] = list(eff_cols)
+            referenced = {p for fl in files.values() for p in fl}
+            fstats = {
+                p: s
+                for p, s in prev.get("file_stats", {}).items()
+                if p in referenced
+            }
+            if stats_cols is not None and list(stats_cols) != prev.get(
+                "stats_cols"
+            ):
+                # re-analyze with a DIFFERENT column set: carried
+                # entries describe the old columns — recompute all
+                fstats = {}
+            missing = sorted(referenced - fstats.keys())
+            if missing:
+                fstats.update(_file_column_stats(missing, list(eff_cols)))
+            manifest["file_stats"] = fstats
         # wall-clock commit stamp: operational metadata only (history(),
         # timestamp time travel) — never part of query semantics
         manifest["committed_at"] = time.time()
@@ -1165,6 +1287,84 @@ def _footer_stats(
                     if max_ts is None or tst.max > max_ts:
                         max_ts = tst.max
     return bucket_lsn, n_keys, max_ts
+
+
+def _stat_value(v, path: str, col: str):
+    """Normalize one parquet footer min/max into a JSON-storable value.
+    Only numeric and string columns are supported as zone-map columns —
+    timestamps/binary would need a serialization convention the pruning
+    comparison must then mirror; rejecting them loudly beats a silently
+    wrong order."""
+    if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+        raise TypeError(
+            f"column {col!r} (file {path}) has {type(v).__name__} "
+            "statistics; zone-map columns must be numeric or string"
+        )
+    return v
+
+
+def _file_column_stats(
+    paths: list[str], cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """Per-file [min, max] for ``cols``, recovered from parquet FOOTERS
+    (read concurrently, like ``_footer_stats``) — the write-side half of
+    manifest zone maps. A column is omitted for a file when any row
+    group lacks min/max for it (all-null group, or the writer dropped
+    oversized binary stats): readers treat a missing entry as
+    "cannot prune", so omission is always safe. Parquet writers that
+    truncate string stats keep them valid as bounds (truncated max is
+    rounded UP), so footer min/max are usable pruning bounds verbatim."""
+    import pyarrow.parquet as pq
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, max(len(paths), 1))) as ex:
+        mds = list(ex.map(pq.read_metadata, paths))
+    out: dict[str, dict[str, list]] = {}
+    for p, md in zip(paths, mds):
+        sch = md.schema.to_arrow_schema()
+        per_col: dict[str, list] = {}
+        for c in cols:
+            ci = sch.get_field_index(c)
+            if ci < 0:
+                continue  # pre-evolution file without the column
+            mn = mx = None
+            ok = True
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                if st is None or st.min is None or st.max is None:
+                    ok = False
+                    break
+                gmn = _stat_value(st.min, p, c)
+                gmx = _stat_value(st.max, p, c)
+                mn = gmn if mn is None or gmn < mn else mn
+                mx = gmx if mx is None or gmx > mx else mx
+            if ok and mn is not None:
+                per_col[c] = [mn, mx]
+        out[p] = per_col
+    return out
+
+
+def _stats_admit(
+    per_col: dict[str, list] | None, bounds: dict[str, tuple]
+) -> bool:
+    """True when a file's zone-map entry CANNOT rule the file out for
+    ``bounds`` (col → (lo, hi), either side None). Missing entry or
+    missing column → True (read it: pruning is an optimization, never a
+    correctness gate). Python str comparison is code-point order, which
+    equals Spark's UTF-8 byte order (UTF-8 preserves code-point order),
+    so string bounds prune identically on both sides."""
+    if not per_col:
+        return True
+    for c, (lo, hi) in bounds.items():
+        rng = per_col.get(c)
+        if rng is None:
+            continue
+        fmin, fmax = rng
+        if lo is not None and fmax < lo:
+            return False
+        if hi is not None and fmin > hi:
+            return False
+    return True
 
 
 def _manifest_path(root: str, version: int) -> str:
