@@ -1240,6 +1240,48 @@ def dd6_simhash_banded(spark, sf_dir):
     return simhash_near_dups_banded(docs, bits=32, r=3)
 
 
+# dd6's candidate pairs + a recursive transitive closure: cluster id =
+# min doc id reachable through the near-dup graph. The engine computes
+# the same thing distributively (label propagation + pointer jumping);
+# the oracle brute-forces reachability, which only a bounded sample
+# can afford — exactly why the distributed form exists.
+_DUP_CLUSTERS_SQL = _SIMHASH_BANDED_SQL.replace("WITH toks", "WITH RECURSIVE toks").replace(
+    """)
+SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+""",
+    """), pairs AS (
+  SELECT id_a, id_b FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
+FROM reach GROUP BY src
+""",
+)
+
+
+@demo("dd7_dup_clusters", _DUP_CLUSTERS_SQL)
+def dd7_dup_clusters(spark, sf_dir):
+    """Duplicate GROUPS, not pairs: connected components over the dd6
+    banded-simhash candidate graph (near-duplication is transitive —
+    chains A≈B≈C must dedup as one group)."""
+    from tartare_spark.operators.dedup_docs import (
+        dup_clusters,
+        simhash_near_dups_banded,
+    )
+
+    docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    pairs = simhash_near_dups_banded(docs, bits=32, r=3)
+    return dup_clusters(pairs)
+
+
 _JACCARD_SQL = """
 WITH docs AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm

@@ -332,6 +332,106 @@ def simhash_near_dups_banded(
     )
 
 
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a candidate-pair graph — the step a
+    dedup pipeline needs BETWEEN pair generation (minhash/simhash/
+    jaccard candidates) and "keep one document per duplicate group":
+    near-duplication is transitive through chains (A≈B, B≈C ⇒ one
+    group), so pairwise output alone under-deletes.
+
+    Returns ``(doc_id, cluster_id)`` for every id appearing in a pair,
+    where ``cluster_id`` is the MINIMUM doc id in the component —
+    deterministic, order-insensitive, and oracle-able as a recursive
+    transitive closure.
+
+    Algorithm: iterative min-label propagation with POINTER JUMPING —
+    each round every node takes the min of its own label, its
+    neighbors' labels, and its label's label (path shortcutting, the
+    doubling trick from the MapReduce connected-components literature).
+    Per round: one edges⋈labels join + min-agg, one labels⋈labels
+    self-join — all shuffle-partitioned on node id, no driver-side
+    graph. Shortcutting makes rounds O(log diameter) instead of
+    O(diameter): a 40-node chain converges in ~6 rounds, and real
+    near-dup components (dense cliques with stragglers) in 2–3. The
+    only driver-side value per round is the scalar convergence count.
+    Raises if ``max_iter`` rounds don't converge (never silently
+    returns partial labels)."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    # localCheckpoint (NOT persist) each round: an iterative dataflow's
+    # logical plan otherwise grows by a self-join per round — Catalyst
+    # re-analyzes the whole lineage every iteration and the driver dies
+    # in plan bookkeeping long before the data is big. Checkpointing
+    # materializes the ~|V|-row label table and truncates the plan, so
+    # every round starts from a flat scan.
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src"), F.col("src").alias("label"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(
+                    labels.select(
+                        F.col("src").alias("dst"), F.col("label").alias("dlabel")
+                    ),
+                    on="dst",
+                )
+                .groupBy("src")
+                .agg(F.min("dlabel").alias("nmin"))
+            )
+            prop = labels.join(nbr_min, on="src", how="left").select(
+                "src",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+            )
+            # pointer jumping: follow the label one hop (labels are node
+            # ids, so L(v)'s own label exists) — L(L(v)) ≤ L(v) always
+            new_labels = (
+                prop.join(
+                    prop.select(
+                        F.col("src").alias("label"), F.col("label").alias("ll")
+                    ),
+                    on="label",
+                    how="left",
+                )
+                .select("src", F.coalesce("ll", "label").alias("label"))
+                .localCheckpoint(eager=False)
+            )
+            # ONE job per round: the convergence count materializes the
+            # (lazy) checkpoint as a side effect
+            changed = (
+                new_labels.join(
+                    labels.select("src", F.col("label").alias("old")), on="src"
+                )
+                .filter(F.col("label") != F.col("old"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels.select(
+                    F.col("src").alias("doc_id"), F.col("label").alias("cluster_id")
+                )
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iter} rounds; the "
+            "component diameter exceeds 2^rounds — raise max_iter"
+        )
+    finally:
+        edges.unpersist()
+
+
 def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
     """Near-dup pairs with IDENTICAL simhash (Hamming 0 fast path); use
     :func:`simhash_near_dups_banded` for the Hamming ≤ r search."""

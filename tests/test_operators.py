@@ -711,3 +711,68 @@ def test_hash_split_deterministic_and_disjoint(spark):
     c = {r["doc_id"]: r["split"]
          for r in hash_split(docs, "doc_id", seed=7).collect()}
     assert c != a  # seed changes the draw
+
+
+def _uf_components(n_nodes, edge_list):
+    """Reference union-find: node → min id in its component."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in range(n_nodes)}
+
+
+def test_dup_clusters_chain_triangle_pair(spark):
+    """Transitivity through a chain (0-1-2-3 is ONE group even though
+    0 and 3 never pair directly), plus a triangle and a lone pair."""
+    from tartare_spark.operators.dedup_docs import dup_clusters
+
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)]
+    pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dup_clusters_matches_union_find_random(spark):
+    import random
+
+    from tartare_spark.operators.dedup_docs import dup_clusters
+
+    rng = random.Random(42)
+    n = 80
+    edges = sorted({(min(a, b), max(a, b))
+                    for a, b in ((rng.randrange(n), rng.randrange(n))
+                                 for _ in range(70)) if a != b})
+    pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    ref = _uf_components(n, edges)
+    touched = {v for e in edges for v in e}
+    assert got == {v: ref[v] for v in touched}  # singletons excluded
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    """A 41-node path is the pointer-jumping stress case: plain min
+    propagation would need 40 rounds; shortcutting needs ~log2(40)."""
+    from tartare_spark.operators.dedup_docs import dup_clusters
+
+    edges = [(i, i + 1) for i in range(40)]
+    pairs = spark.createDataFrame(edges, "id_a LONG, id_b LONG")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dup_clusters(pairs, max_iter=10).collect()}
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_dup_clusters_empty(spark):
+    from tartare_spark.operators.dedup_docs import dup_clusters
+
+    pairs = spark.createDataFrame([], "id_a LONG, id_b LONG")
+    assert dup_clusters(pairs).count() == 0
