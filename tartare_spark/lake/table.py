@@ -803,6 +803,7 @@ class LakeTable:
         spark: SparkSession,
         bounds: dict[str, tuple],
         version: int | None = None,
+        registry: "Any | None" = None,
     ) -> DataFrame:
         """Snapshot restricted to ``bounds`` (col → (lo, hi) inclusive,
         either side None = unbounded), with FILE-LEVEL pruning from the
@@ -861,7 +862,16 @@ class LakeTable:
         df = frames[0]
         for extra in frames[1:]:
             df = df.unionByName(extra)
-        return df.filter(~F.col("_deleted")).drop("_ts", "_deleted")
+        out = df.filter(~F.col("_deleted")).drop("_ts")
+        if registry is not None:
+            # same read-time evolution as snapshot(); ``bounds`` always
+            # name PHYSICAL columns (stats are footer-derived), so the
+            # registry's renames/casts apply after pruning + filtering
+            watermark = max(
+                [int(v) for v in m["bucket_lsn"].values()], default=0
+            )
+            out = registry.apply_read(out, watermark)
+        return out.drop("_deleted")
 
     def rebucket(self, spark: SparkSession, new_num_buckets: int) -> int:
         """Partition evolution (Iceberg bucket-spec change): rewrite the

@@ -184,6 +184,27 @@ def test_stats_carry_forward_and_backfill(spark, unit_events, tmp_path):
     assert got == want
 
 
+def test_scan_where_with_registry_matches_snapshot(spark, unit_events, tmp_path):
+    """Read-time evolution applies after pruning: scan_where(registry=)
+    must equal snapshot(registry=) filtered by the same bounds."""
+    from tartare_spark.fixtures import UNIT, registry_rows
+    from tartare_spark.registry import SchemaRegistry
+
+    reg = SchemaRegistry(registry_rows(UNIT))
+    lake = LakeTable.create(str(tmp_path / "lake_reg"), num_buckets=8)
+    replay_batches(spark, lake, unit_events, num_chunks=2, registry=reg)
+    lake.compact(spark)
+    lake.analyze(["_lsn"])
+    bounds = {"_lsn": (200, 1500)}
+    got = _rows_set(lake.scan_where(spark, bounds, registry=reg))
+    want = _rows_set(
+        lake.snapshot(spark, registry=reg).filter(
+            (F.col("_lsn") >= 200) & (F.col("_lsn") <= 1500)
+        )
+    )
+    assert got == want and got
+
+
 def test_analyze_rejects_unsupported_column(spark, tmp_path):
     lake = _clustered_lake(spark, tmp_path, "lake_badcol")
     with pytest.raises(TypeError, match="numeric or string"):
