@@ -4,10 +4,13 @@ No real cluster exists here, so the two-cluster-size criterion is
 evidenced by the SAME job on the SAME input at two parallelism levels
 (default ``local[1]`` vs ``local[4]`` — see LEVELS below for why), in
 separate JVMs, engine shipped via ``--py-files engine.zip`` exactly as
-the north rule's launch path prescribes. Writes ``BENCH/BASELINE.md``
-with both throughputs + scaling efficiency = (throughput_4N /
-throughput_N) / 4, next to
-the host's own measured parallel ceilings (scripts/host_probe.py).
+the north rule's launch path prescribes. Writes
+``BENCH/scaling_latest.md`` (a full report for the run) with both
+throughputs + scaling efficiency = (throughput_4N / throughput_N) / 4,
+next to the host's own measured parallel ceilings
+(scripts/host_probe.py). ``BENCH/BASELINE.md`` is hand-curated from
+these reports — it keeps the all-sessions disclosure table and the
+round addenda, which a raw overwrite used to clobber.
 
 Usage: python scripts/scaling_bench.py [n_events] [runs_per_level] [content_len]
 Env: SCALING_LEVELS=1,4  SCALING_MFPT=16
@@ -242,12 +245,15 @@ Raw per-run JSON (including per-batch metrics) below.
 {json.dumps({k: v for k, v in hi.items() if k != 'batch_metrics'})}
 ```
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", "scaling_latest.md"), "w") as f:
         f.write(body)
-    with open(os.path.join(REPO, "BENCH", f"scaling_local{LEVELS[0]}.jsonl"), "w") as f:
+    # Latest-run raw batch metrics; BENCH/scaling_local{N}.jsonl stays
+    # pinned to the headline session and is updated by hand if a new
+    # session becomes the headline.
+    with open(os.path.join(REPO, "BENCH", f"scaling_latest_local{LEVELS[0]}.jsonl"), "w") as f:
         for m in lo["batch_metrics"]:
             f.write(json.dumps(m) + "\n")
-    with open(os.path.join(REPO, "BENCH", f"scaling_local{LEVELS[1]}.jsonl"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"scaling_latest_local{LEVELS[1]}.jsonl"), "w") as f:
         for m in hi["batch_metrics"]:
             f.write(json.dumps(m) + "\n")
 
