@@ -62,7 +62,9 @@ def _events_as_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CDC_SQL = """
+# the changelog mapping above, as a reusable DuckDB CTE (scd2/mv
+# oracles below build different shapes over the same event stream)
+_CH_CTE = """
 WITH ch AS (
   SELECT event_id + 1 AS lsn,
          CASE WHEN event_type = 'error' THEN 'delete' ELSE 'update' END AS op,
@@ -72,7 +74,9 @@ WITH ch AS (
          CASE WHEN event_type = 'error' THEN ''
               ELSE props || '|' || CAST(event_id AS VARCHAR) END AS content
   FROM events
-), last AS (
+)"""
+
+_CDC_SQL = _CH_CTE + """, last AS (
   SELECT repo, path,
          arg_max(op, lsn) AS op,
          arg_max("commit", lsn) AS "commit",
@@ -1961,3 +1965,101 @@ def a5b_approx_quantiles(spark, sf_dir):
         F.col("p90_exact").cast("double").alias("p90_exact"),
         ok.alias("within_5pct"),
     )
+
+
+# ======================================================================
+# SCD type-2 history over the change log (SURVEY §2 W5/W6)
+# ======================================================================
+_SCD2_V_CTE = _CH_CTE + """, v AS (
+  SELECT repo, path, "commit", content, op,
+         CAST(lsn AS BIGINT) AS valid_from_lsn,
+         lead(CAST(lsn AS BIGINT)) OVER (
+           PARTITION BY repo, path ORDER BY lsn) AS valid_to_lsn
+  FROM ch
+)"""
+
+_SCD2_SQL = _SCD2_V_CTE + """
+SELECT repo, path, "commit", content, valid_from_lsn, valid_to_lsn,
+       (valid_to_lsn IS NULL) AS is_current
+FROM v WHERE op <> 'delete'
+"""
+
+
+@demo("w5_scd2_history", _SCD2_SQL)
+def w5_scd2_history(spark, sf_dir):
+    """Type-2 history: one row per surviving VERSION of a (repo, path)
+    key with its [valid_from_lsn, valid_to_lsn) currency interval —
+    tartare's full per-source fetch history [SURVEY §2.4 A2] in SCD2
+    form. One window shuffle; deletes close their predecessor and emit
+    no row (operators/scd.py)."""
+    from tartare_spark.operators.scd import scd2_history
+
+    ch = _events_as_changelog(spark, sf_dir).drop("ts", "lang")
+    return scd2_history(ch)
+
+
+_SCD2_ASOF_SQL = _SCD2_V_CTE + """
+SELECT repo, path, "commit", content, valid_from_lsn, valid_to_lsn
+FROM v WHERE op <> 'delete'
+  AND valid_from_lsn <= 5000
+  AND (valid_to_lsn IS NULL OR valid_to_lsn > 5000)
+"""
+
+
+@demo("w6_scd2_asof", _SCD2_ASOF_SQL)
+def w6_scd2_asof(spark, sf_dir):
+    """Point-in-time read off the SCD2 history: the version of every
+    key current just after LSN 5000 was applied — equal by construction
+    to the lake state a replay stopped at 5000 would hold (tested in
+    tests/test_operators.py). Pure interval filter, no shuffle beyond
+    the history's own window."""
+    from tartare_spark.operators.scd import scd2_asof, scd2_history
+
+    ch = _events_as_changelog(spark, sf_dir).drop("ts", "lang")
+    return scd2_asof(scd2_history(ch), lsn=5000)
+
+
+# ======================================================================
+# Incremental materialized view over the change feed (SURVEY §2 S10)
+# ======================================================================
+_MV_SQL = _CH_CTE + """, last AS (
+  SELECT repo, path,
+         arg_max(op, lsn) AS op,
+         arg_max(content, lsn) AS content,
+         max(lsn) AS _lsn
+  FROM ch GROUP BY repo, path
+), live AS (
+  SELECT repo, path, content, _lsn FROM last WHERE op <> 'delete'
+)
+SELECT repo, count(*) AS n_paths, max(_lsn) AS max_lsn,
+       CAST(sum(length(content)) AS BIGINT) AS total_bytes
+FROM live GROUP BY repo
+"""
+
+
+@demo("s10_incremental_mv", _MV_SQL)
+def s10_incremental_mv(spark, sf_dir):
+    """Incremental MV maintenance (operators/mv.py): build a per-repo
+    aggregate at the lake's mid-replay version, apply the rest of the
+    log, then REFRESH — only groups touched by the change feed are
+    re-aggregated and spliced in. The oracle is the full aggregate over
+    the final LWW state: refresh ≡ full rebuild, at O(changed slice)
+    cost (the feed read is O(changed rows); dirty groups broadcast to
+    both the semi- and anti-join sides)."""
+    import shutil
+
+    from tartare_spark.lake.table import LakeTable
+    from tartare_spark.operators.apply import replay_batches
+    from tartare_spark.operators.mv import build_mv, refresh_mv
+
+    ch = _events_as_changelog(spark, sf_dir)
+    root = os.path.join(tempfile.gettempdir(), f"tartare_demo_mv_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    lake = LakeTable.create(os.path.join(root, "lake"), num_buckets=16)
+    replay_batches(spark, lake, ch.filter(F.col("lsn") <= 5000), num_chunks=2)
+    build_mv(spark, lake, os.path.join(root, "mv"))
+    replay_batches(
+        spark, lake, ch.filter(F.col("lsn") > 5000),
+        num_chunks=2, start_batch_id=2,
+    )
+    return refresh_mv(spark, lake, os.path.join(root, "mv"))

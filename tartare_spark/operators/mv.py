@@ -1,0 +1,148 @@
+"""Incremental materialized-view maintenance driven by the change feed.
+
+Reference analog: tartare's export pipeline recomputes downstream
+coverage aggregates after each data-source update [SURVEY §3.1 entry
+point 3]; the CDC-native form is a materialized aggregate over the lake
+that is refreshed INCREMENTALLY from ``LakeTable.changes()`` (SURVEY §2
+S8) instead of recomputed from the full table.
+
+Refresh strategy: **dirty-group recompute**, not delta arithmetic.
+The change feed since the last refresh yields the set of groups that
+contain at least one changed key; ONLY those groups are re-aggregated
+from the current snapshot, then spliced into the previous MV state
+(anti-join out the dirty groups, union the recomputed rows). Because
+dirty groups are recomputed from state rather than patched with
+increments, every aggregate is maintainable — including min/max and
+count-distinct, which pure delta arithmetic cannot maintain under
+deletes — and redelivered (already-applied) feed rows are harmless:
+they only re-mark a group dirty.
+
+Scale shape at 10^10 events: the feed read is O(changed rows) (delta
+files / CoW sidecars — the table is never scanned to find changes);
+dirty groups per refresh interval are ≪ total groups, collected only
+as a DISTINCT group-key list and broadcast to both the snapshot-side
+semi-join and the MV-side anti-join, so neither the lake nor the MV
+shuffles. The one real job is the re-aggregation of the dirty slice:
+scan (bucket-pruned by the broadcast semi-join's pushed runtime
+filter where the group key prefixes the bucket key) + one partial-agg
+shuffle of already-reduced rows. MV state is versioned
+(``v{n}/data.parquet``) so a refresh never overwrites the files it is
+reading — the splice reads v{n-1} while writing v{n}, and crash
+mid-write leaves the current pointer untouched (same manifest-last
+discipline as the lake itself).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tartare_spark.lake.table import LakeTable
+
+
+def group_file_stats(snap: DataFrame, group_col: str) -> DataFrame:
+    """The demo/test aggregate: per-group live-file stats. Any
+    ``groupBy(group_col)`` aggregation works — the maintenance protocol
+    never looks inside the agg."""
+    return snap.groupBy(group_col).agg(
+        F.count("*").alias("n_paths"),
+        F.max("_lsn").alias("max_lsn"),
+        F.sum(F.length("content")).alias("total_bytes"),
+    )
+
+
+def _meta_path(mv_path: str) -> str:
+    return os.path.join(mv_path, "mv_meta.json")
+
+
+def _read_meta(mv_path: str) -> dict:
+    with open(_meta_path(mv_path)) as f:
+        return json.load(f)
+
+
+def _publish(mv_path: str, mv_version: int, lake_version: int) -> None:
+    tmp = _meta_path(mv_path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"mv_version": mv_version, "lake_version": lake_version}, f)
+    os.replace(tmp, _meta_path(mv_path))
+
+
+def _data_dir(mv_path: str, mv_version: int) -> str:
+    return os.path.join(mv_path, f"v{mv_version}")
+
+
+def read_mv(spark: SparkSession, mv_path: str) -> DataFrame:
+    meta = _read_meta(mv_path)
+    return spark.read.parquet(_data_dir(mv_path, meta["mv_version"]))
+
+
+def build_mv(
+    spark: SparkSession,
+    lake: LakeTable,
+    mv_path: str,
+    group_col: str = "repo",
+    agg: Callable[[DataFrame, str], DataFrame] = group_file_stats,
+) -> DataFrame:
+    """Full build at the lake's current version (refresh bootstrap)."""
+    version = lake.current_version()
+    os.makedirs(mv_path, exist_ok=True)
+    out = agg(lake.snapshot(spark, version=version), group_col)
+    out.write.mode("overwrite").parquet(_data_dir(mv_path, 0))
+    _publish(mv_path, 0, version)
+    return read_mv(spark, mv_path)
+
+
+def refresh_mv(
+    spark: SparkSession,
+    lake: LakeTable,
+    mv_path: str,
+    group_col: str = "repo",
+    agg: Callable[[DataFrame, str], DataFrame] = group_file_stats,
+) -> DataFrame:
+    """Incremental refresh: recompute only the groups touched since the
+    MV's recorded lake version. Equivalent to a full rebuild at the new
+    version for ANY ``groupBy(group_col)`` agg (tested), at O(changed
+    slice) cost. A group whose every key was deleted disappears; a
+    brand-new group appears — both fall out of the splice with no
+    special casing."""
+    meta = _read_meta(mv_path)
+    from_v, to_v = int(meta["lake_version"]), lake.current_version()
+    if from_v == to_v:
+        return read_mv(spark, mv_path)
+    spliced = refresh_plan(
+        spark, lake, mv_path, from_v, to_v, group_col=group_col, agg=agg
+    )
+    next_version = int(meta["mv_version"]) + 1
+    spliced.write.mode("overwrite").parquet(_data_dir(mv_path, next_version))
+    _publish(mv_path, next_version, to_v)
+    return read_mv(spark, mv_path)
+
+
+def refresh_plan(
+    spark: SparkSession,
+    lake: LakeTable,
+    mv_path: str,
+    from_v: int,
+    to_v: int,
+    group_col: str = "repo",
+    agg: Callable[[DataFrame, str], DataFrame] = group_file_stats,
+) -> DataFrame:
+    """The refresh dataflow, unexecuted (split out so tests can assert
+    its physical plan: dirty keys broadcast to BOTH the snapshot-side
+    semi-join and the MV-side anti-join, never a shuffle of either)."""
+    feed = lake.changes(spark, from_v, to_v)
+    dirty = feed.select(group_col).distinct()
+    recomputed = agg(
+        lake.snapshot(spark, version=to_v).join(
+            F.broadcast(dirty), group_col, "left_semi"
+        ),
+        group_col,
+    )
+    meta = _read_meta(mv_path)
+    prev = spark.read.parquet(_data_dir(mv_path, meta["mv_version"]))
+    kept = prev.join(F.broadcast(dirty), group_col, "left_anti")
+    return kept.unionByName(recomputed)

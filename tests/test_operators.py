@@ -776,3 +776,163 @@ def test_dup_clusters_empty(spark):
 
     pairs = spark.createDataFrame([], "id_a LONG, id_b LONG")
     assert dup_clusters(pairs).count() == 0
+
+
+# ----------------------------------------------------------------------
+# SCD2 history (operators/scd.py, SURVEY §2 W5/W6)
+# ----------------------------------------------------------------------
+def _lww_live(ev):
+    """Reference LWW live state of a changelog: latest event per key,
+    deletes removed (independent window formulation, not the engine's)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("repo", "path").orderBy(F.col("lsn").desc())
+    return (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .filter(F.col("op") != "delete")
+        .select("repo", "path", "commit", "content")
+    )
+
+
+def test_scd2_current_slice_equals_lww_state(spark, unit_events_dir):
+    from tartare_spark.operators.scd import scd2_history
+
+    ev = spark.read.parquet(f"{unit_events_dir}/*.parquet")
+    hist = scd2_history(ev.drop("ts", "lang"))
+    cur = hist.filter("is_current").select("repo", "path", "commit", "content")
+    exp = _lww_live(ev)
+    assert cur.exceptAll(exp).count() == 0
+    assert exp.exceptAll(cur).count() == 0
+    # intervals are well-formed: a closed version never inverts
+    bad = hist.filter(F.col("valid_to_lsn") <= F.col("valid_from_lsn"))
+    assert bad.count() == 0
+
+
+def test_scd2_redelivery_invariant(spark, unit_events_dir):
+    """Verbatim redelivered events (SURVEY §2.1 S7 semantics) must not
+    fabricate versions: history over log+duplicates == history over log."""
+    from tartare_spark.operators.scd import scd2_history
+
+    ev = spark.read.parquet(f"{unit_events_dir}/*.parquet").drop("ts", "lang")
+    redelivered = ev.unionAll(ev.orderBy("lsn").limit(500))
+    a = scd2_history(ev)
+    b = scd2_history(redelivered)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_scd2_asof_equals_prefix_replay_state(spark, unit_events_dir):
+    """Point-in-time slice at LSN L == LWW live state of the log prefix
+    lsn <= L, for L before / between / after delete activity."""
+    from tartare_spark.operators.scd import scd2_asof, scd2_history
+
+    ev = spark.read.parquet(f"{unit_events_dir}/*.parquet").drop("ts", "lang")
+    lo, hi = ev.agg(F.min("lsn"), F.max("lsn")).first()
+    hist = scd2_history(ev)
+    for frac in (0.25, 0.6, 1.0):
+        cut = int(lo + (hi - lo) * frac)
+        got = scd2_asof(hist, cut).select("repo", "path", "commit", "content")
+        exp = _lww_live(ev.filter(F.col("lsn") <= cut))
+        assert got.exceptAll(exp).count() == 0, f"extra rows at lsn {cut}"
+        assert exp.exceptAll(got).count() == 0, f"missing rows at lsn {cut}"
+
+
+# ----------------------------------------------------------------------
+# Incremental MV maintenance (operators/mv.py, SURVEY §2 S10)
+# ----------------------------------------------------------------------
+def test_mv_refresh_equals_full_rebuild(spark, unit_events_dir, tmp_path):
+    from tartare_spark.lake.table import LakeTable
+    from tartare_spark.operators.apply import replay_batches
+    from tartare_spark.operators.mv import build_mv, read_mv, refresh_mv
+
+    ev = spark.read.parquet(f"{unit_events_dir}/*.parquet")
+    lo, hi = ev.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = (int(lo) + int(hi)) // 2
+    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=8)
+    replay_batches(spark, lake, ev.filter(F.col("lsn") <= mid), num_chunks=2)
+    build_mv(spark, lake, str(tmp_path / "mv"))
+    replay_batches(
+        spark, lake, ev.filter(F.col("lsn") > mid), num_chunks=3,
+        start_batch_id=2,
+    )
+    got = refresh_mv(spark, lake, str(tmp_path / "mv"))
+    full = build_mv(spark, lake, str(tmp_path / "mv_full"))
+    assert got.exceptAll(full).count() == 0
+    assert full.exceptAll(got).count() == 0
+    # idempotent: refreshing again at the same lake version is a no-op read
+    again = refresh_mv(spark, lake, str(tmp_path / "mv"))
+    assert again.exceptAll(got).count() == 0
+    assert read_mv(spark, str(tmp_path / "mv")).count() == got.count()
+
+
+def test_mv_groups_appear_and_disappear(spark, tmp_path):
+    """A group whose every key is deleted drops out of the MV; a group
+    first seen after the build shows up — both via the generic splice."""
+    import datetime
+
+    from tartare_spark.lake.schema import CHANGE_EVENT_SCHEMA
+    from tartare_spark.lake.table import LakeTable
+    from tartare_spark.operators.apply import apply_batch
+    from tartare_spark.operators.mv import build_mv, refresh_mv
+
+    ts = datetime.datetime(2026, 1, 1)
+    def row(lsn, op, repo, path, content):
+        return (lsn, op, repo, path, f"c{lsn}", None, content, ts)
+
+    phase1 = spark.createDataFrame(
+        [row(1, "update", "A", "x", "aa"), row(2, "update", "B", "y", "bb")],
+        CHANGE_EVENT_SCHEMA,
+    )
+    phase2 = spark.createDataFrame(
+        [row(3, "delete", "A", "x", ""), row(4, "update", "C", "z", "cc")],
+        CHANGE_EVENT_SCHEMA,
+    )
+    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=4)
+    apply_batch(spark, lake, phase1, batch_id=0)
+    build_mv(spark, lake, str(tmp_path / "mv"))
+    apply_batch(spark, lake, phase2, batch_id=1)
+    got = refresh_mv(spark, lake, str(tmp_path / "mv"))
+    repos = sorted(r["repo"] for r in got.select("repo").collect())
+    assert repos == ["B", "C"], repos
+
+
+def test_mv_refresh_plan_broadcasts_dirty_keys(spark, tmp_path):
+    """Scale invariant: the refresh's two dirty-key joins are BROADCAST
+    (semi + anti) — neither the lake snapshot nor the MV shuffles on
+    the group key."""
+    import datetime
+
+    from tartare_spark.lake.schema import CHANGE_EVENT_SCHEMA
+    from tartare_spark.lake.table import LakeTable
+    from tartare_spark.operators.apply import apply_batch
+    from tartare_spark.operators.mv import build_mv, refresh_plan
+
+    ts = datetime.datetime(2026, 1, 1)
+    ev = spark.createDataFrame(
+        [(i, "update", f"r{i % 3}", f"p{i}", f"c{i}", None, "x" * 10, ts)
+         for i in range(1, 30)],
+        CHANGE_EVENT_SCHEMA,
+    )
+    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=4)
+    apply_batch(spark, lake, ev.filter("lsn <= 15"), batch_id=0)
+    build_mv(spark, lake, str(tmp_path / "mv"))
+    apply_batch(spark, lake, ev.filter("lsn > 15"), batch_id=1)
+    plan = refresh_plan(
+        spark, lake, str(tmp_path / "mv"), 1, lake.current_version()
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scd2_single_window_plan(spark, unit_events_dir):
+    """Scale invariant: the whole history is ONE window over ONE
+    exchange — no pre-dedup shuffle, no join."""
+    from tartare_spark.operators.scd import scd2_history
+
+    ev = spark.read.parquet(f"{unit_events_dir}/*.parquet").drop("ts", "lang")
+    plan = scd2_history(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan and "lead(" in plan
+    assert "Join" not in plan
