@@ -2063,3 +2063,38 @@ def s10_incremental_mv(spark, sf_dir):
         num_chunks=2, start_batch_id=2,
     )
     return refresh_mv(spark, lake, os.path.join(root, "mv"))
+
+
+# ======================================================================
+# Debezium-style CDC envelope source (SURVEY §2 S11)
+# ======================================================================
+_S11_SQL = _CH_CTE + """
+SELECT repo, op, count(*) AS n, count(DISTINCT path) AS n_paths,
+       max(lsn) AS max_lsn,
+       CAST(sum(CASE WHEN op <> 'delete' THEN length(content) END) AS BIGINT)
+         AS content_bytes,
+       min(CASE WHEN op <> 'delete' THEN "commit" END) AS first_commit
+FROM ch GROUP BY repo, op
+"""
+
+
+@demo("s11_cdc_envelope_source", _S11_SQL)
+def s11_cdc_envelope_source(spark, sf_dir):
+    """Round-trip the change log through the Debezium wire format
+    (operators/envelope.py): changelog → envelope JSON → parsed
+    changelog, aggregated per (repo, op). The oracle computes the same
+    aggregate from the raw events — equality proves the envelope
+    encode/decode is lossless on every surviving field (delete rows
+    carry only the before-image key, so their commit/content are null
+    on the Spark side and excluded on both sides)."""
+    from tartare_spark.operators.envelope import envelope_changelog, to_envelope
+
+    ch = _events_as_changelog(spark, sf_dir)
+    parsed = envelope_changelog(to_envelope(ch))
+    return parsed.groupBy("repo", "op").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("path").alias("n_paths"),
+        F.max("lsn").alias("max_lsn"),
+        F.sum(F.length("content")).alias("content_bytes"),
+        F.min("commit").alias("first_commit"),
+    )

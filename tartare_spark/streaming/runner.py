@@ -44,8 +44,15 @@ def run_stream(
     manifest_fence: bool = False,
     fence_lateness: int = 0,
     fence_order_check: bool = True,
+    envelope: bool = False,
 ):
     """Tail ``events_dir`` (parquet file stream) into ``lake``.
+
+    ``envelope=True`` tails a Debezium-style JSON topic dump instead
+    (text files of change envelopes, operators/envelope.py): rows are
+    decoded by ``envelope_changelog`` (malformed lines dropped) and the
+    rest of the pipeline — fences, registry, exactly-once commits — is
+    identical. This is the wire format a real binlog tail arrives in.
 
     ``drop_dup_within_watermark`` adds the T2 operator
     (withWatermark + dropDuplicatesWithinWatermark on lsn). It is OFF by
@@ -68,10 +75,18 @@ def run_stream(
     slack for sources with bounded reordering. Measured break-even vs
     the state-store fence is documented in BENCH/BASELINE.md.
     """
-    reader = spark.readStream.schema(CHANGE_EVENT_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    src = reader.parquet(events_dir)
+    if envelope:
+        from tartare_spark.operators.envelope import envelope_changelog
+
+        reader = spark.readStream
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        src = envelope_changelog(reader.text(events_dir), drop_malformed=True)
+    else:
+        reader = spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        src = reader.parquet(events_dir)
     if drop_dup_within_watermark:
         src = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["lsn"])
     if stateful_fence:

@@ -936,3 +936,68 @@ def test_scd2_single_window_plan(spark, unit_events_dir):
     assert plan.count("Exchange") == 1, plan
     assert "Window" in plan and "lead(" in plan
     assert "Join" not in plan
+
+
+# ----------------------------------------------------------------------
+# CDC envelope source (operators/envelope.py, SURVEY §2 S11)
+# ----------------------------------------------------------------------
+def test_envelope_roundtrip_lossless(spark, unit_events_dir):
+    """changelog → envelope JSON → changelog preserves every surviving
+    field: upserts fully (incl. ts at millisecond precision, the wire
+    format's granularity); deletes keep key + lsn + ts."""
+    from tartare_spark.operators.envelope import envelope_changelog, to_envelope
+
+    ev = spark.read.parquet(f"{unit_events_dir}/*.parquet")
+    ref = ev.withColumn(
+        "ts", F.timestamp_millis(F.unix_millis(F.col("ts").cast("timestamp")))
+    )
+    back = envelope_changelog(to_envelope(ev))
+    up_cols = ["lsn", "op", "repo", "path", "commit", "lang", "content", "ts"]
+    a = ref.filter("op <> 'delete'").select(up_cols)
+    b = back.filter("op <> 'delete'").select(up_cols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    del_cols = ["lsn", "repo", "path", "ts"]
+    da = ref.filter("op = 'delete'").select(del_cols)
+    db = back.filter("op = 'delete'").select(del_cols)
+    assert da.exceptAll(db).count() == 0
+    assert db.exceptAll(da).count() == 0
+
+
+def test_envelope_malformed_rows(spark):
+    """Malformed JSON surfaces as an all-null row by default (so a
+    caller can dead-letter it) and is filtered by drop_malformed."""
+    from tartare_spark.operators.envelope import envelope_changelog
+
+    raw = spark.createDataFrame(
+        [
+            ('{"op":"u","after":{"repo":"r","path":"p","commit":"c",'
+             '"content":"x"},"source":{"lsn":7,"ts_ms":1000}}',),
+            ("this is not json",),
+        ],
+        "value string",
+    )
+    kept = envelope_changelog(raw)
+    assert kept.count() == 2
+    assert kept.filter(F.col("lsn").isNull() & F.col("op").isNull()).count() == 1
+    strict = envelope_changelog(raw, drop_malformed=True)
+    assert strict.count() == 1
+    assert strict.first()["lsn"] == 7
+
+
+def test_envelope_replay_matches_direct_replay(spark, unit_events_dir, tmp_path):
+    """The engine applied from a Debezium topic dump reaches the same
+    final state as applied from the native changelog."""
+    from tartare_spark.lake.table import LakeTable
+    from tartare_spark.operators.apply import replay_batches
+    from tartare_spark.operators.envelope import envelope_changelog, to_envelope
+
+    ev = spark.read.parquet(f"{unit_events_dir}/*.parquet")
+    direct = LakeTable.create(str(tmp_path / "direct"), num_buckets=8)
+    replay_batches(spark, direct, ev, num_chunks=4)
+    via_env = LakeTable.create(str(tmp_path / "env"), num_buckets=8)
+    replay_batches(spark, via_env, envelope_changelog(to_envelope(ev)), num_chunks=4)
+    a = direct.snapshot(spark).drop("_ts")
+    b = via_env.snapshot(spark).drop("_ts")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0

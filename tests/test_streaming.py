@@ -367,3 +367,27 @@ def test_progress_listener_survives_recentprogress_cap(spark, unit_events_dir, t
         )
     finally:
         spark.conf.set(key, prev)
+
+
+def test_streaming_envelope_source_matches_referee(
+    spark, unit_events_dir, tmp_path, expected
+):
+    """S11 end-to-end under readStream: the engine tailing a
+    Debezium-style JSON topic dump (text envelopes + a poison line)
+    reaches the referee's exact final state — malformed rows are
+    dropped by the adapter, not crashed on."""
+    from tartare_spark.operators.envelope import to_envelope
+
+    ev = spark.read.parquet(f"{unit_events_dir}/*.parquet")
+    topic = str(tmp_path / "topic")
+    to_envelope(ev).coalesce(6).write.mode("overwrite").text(topic)
+    with open(f"{topic}/poison.txt", "w") as f:
+        f.write("not json at all\n{\"op\":\n")
+    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=16)
+    reg = SchemaRegistry(registry_rows(UNIT))
+    run_stream(
+        spark, topic, lake, str(tmp_path / "ckpt"),
+        registry=reg, envelope=True, max_files_per_trigger=3,
+    )
+    assert lake.current_version() >= 2
+    _assert_matches(spark, lake, reg, expected)
