@@ -718,55 +718,155 @@ class LakeTable:
         m = self.manifest()
         return max((len(v) for v in m.get("deltas", {}).values()), default=0)
 
-    def compact(self, spark: SparkSession, buckets: list[int] | None = None) -> int:
+    def compact(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        _pre_publish_hook=None,
+    ) -> int:
         """Fold delta files back into the base (MOR maintenance): resolve
         base ∪ deltas per bucket and rewrite those buckets. A maintenance
         commit — keeps the previous batch_id, so batch idempotency and
         checkpoint replay are unaffected. Crash-safe: data lands before
-        the manifest swap; a crash leaves only orphans for vacuum()."""
-        m = self.manifest()
-        self._assert_layout(m)
+        the manifest swap; a crash leaves only orphans for vacuum().
+
+        Concurrency-safe against a WRITER committing between the fold
+        and the publish (the async-maintenance case, but also closes a
+        latent race in the sync path): the fold is pinned to the
+        manifest version it started from, and the publish clears ONLY
+        the delta files it actually folded — deltas appended meanwhile
+        survive in the manifest and LWW-resolve over the new base (they
+        are strictly newer by LSN), and a lost version-claim race
+        re-reads and retries. A concurrent COMPACTOR on the same
+        buckets (base files changed under us) aborts loudly instead —
+        one maintenance worker per table is the supported shape
+        (``submit_compaction`` enforces it).
+
+        ``_pre_publish_hook`` is a test seam: called once between the
+        fold and the first publish attempt so tests can interleave a
+        concurrent commit deterministically."""
+        m0 = self.manifest()
+        self._assert_layout(m0)
         delta_buckets = sorted(
-            int(b) for b, fl in m.get("deltas", {}).items() if fl
+            int(b) for b, fl in m0.get("deltas", {}).items() if fl
         )
         if buckets is not None:
             keep = set(buckets)
             delta_buckets = [b for b in delta_buckets if b in keep]
         if not delta_buckets:
             return 0
+        folded = {
+            b: set(m0.get("deltas", {}).get(str(b), [])) for b in delta_buckets
+        }
 
         # cluster the rewrite by key: sorted row groups get selective
         # parquet min/max stats on (repo, path), so later repo-filtered
         # scans prune row groups — a read optimization paid only during
         # maintenance, never on the apply hot path.
-        resolved = self.read_raw(spark, buckets=delta_buckets)
+        resolved = self.read_raw(
+            spark, buckets=delta_buckets, version=m0["version"]
+        )
         clustered = resolved.repartition(
             max(len(delta_buckets), 1), "_bucket"
         ).sortWithinPartitions("repo", "path")
         new_files = self._write_data_files(
             clustered,
-            f"compact-{m['version']}-{uuid.uuid4().hex[:8]}",
+            f"compact-{m0['version']}-{uuid.uuid4().hex[:8]}",
             len(delta_buckets),
             pre_partitioned=True,
             codec="zstd",
         )
 
-        prev = self.manifest()
-        files = dict(prev["files"])
-        deltas = {k: list(v) for k, v in prev.get("deltas", {}).items()}
-        for b in delta_buckets:
-            files[str(b)] = sorted(new_files.get(b, []))
-            deltas[str(b)] = []
-        self._publish(
-            prev,
-            batch_id=prev["batch_id"],
-            files=files,
-            deltas=deltas,
-            bucket_lsn_updates={},
-            schema_version=None,
-            extra_stats={"compaction": True, "buckets": len(delta_buckets)},
+        for _attempt in range(16):
+            prev = self.manifest()
+            for b in delta_buckets:
+                if prev["files"].get(str(b)) != m0["files"].get(str(b)):
+                    raise ConcurrentCommitError(
+                        f"bucket {b} base changed during compaction "
+                        "(concurrent compactor?) — fold aborted, new "
+                        "files are orphans for vacuum()"
+                    )
+            files = dict(prev["files"])
+            deltas = {k: list(v) for k, v in prev.get("deltas", {}).items()}
+            for b in delta_buckets:
+                files[str(b)] = sorted(new_files.get(b, []))
+                deltas[str(b)] = [
+                    f for f in deltas.get(str(b), []) if f not in folded[b]
+                ]
+            if _pre_publish_hook is not None:
+                hook, _pre_publish_hook = _pre_publish_hook, None
+                hook()
+            try:
+                self._publish(
+                    prev,
+                    batch_id=prev["batch_id"],
+                    files=files,
+                    deltas=deltas,
+                    bucket_lsn_updates={},
+                    schema_version=None,
+                    extra_stats={
+                        "compaction": True, "buckets": len(delta_buckets)
+                    },
+                )
+                return len(delta_buckets)
+            except ConcurrentCommitError:
+                continue
+        raise ConcurrentCommitError(
+            "compaction lost the version-claim race 16 times — a writer "
+            "is committing faster than the manifest can be re-read"
         )
-        return len(delta_buckets)
+
+    def submit_compaction(
+        self, spark: SparkSession, buckets: list[int], batch_id: int
+    ) -> bool:
+        """Run :meth:`compact` on the table's single maintenance thread
+        so the foreachBatch thread returns to the trigger loop
+        immediately (the fold no longer sits between two triggers).
+
+        At most ONE fold is in flight per table: while one is pending,
+        further submissions are skipped (returns False) — the deltas
+        simply accumulate and the next accepted fold picks them up, so
+        a slow fold self-coalesces instead of queueing. A failed fold
+        re-raises on the next submit or on :meth:`wait_maintenance` —
+        maintenance errors are loud, just deferred. The fold's metrics
+        record (``maintenance: true, async: true``) is appended from
+        the worker when it finishes."""
+        import concurrent.futures
+
+        pending = getattr(self, "_maintenance_future", None)
+        if pending is not None:
+            if not pending.done():
+                return False
+            pending.result()  # surface a failed previous fold loudly
+        if not hasattr(self, "_maintenance_pool"):
+            self._maintenance_pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="lake-maintenance"
+            )
+
+        def _fold():
+            t1 = time.time()
+            n = self.compact(spark, buckets=buckets)
+            self.append_metrics(
+                {
+                    "batch_id": batch_id,
+                    "maintenance": True,
+                    "async": True,
+                    "compacted_buckets": n,
+                    "seconds": round(time.time() - t1, 4),
+                }
+            )
+            return n
+
+        self._maintenance_future = self._maintenance_pool.submit(_fold)
+        return True
+
+    def wait_maintenance(self) -> None:
+        """Drain the async maintenance worker (call at end-of-stream or
+        before snapshotting a quiesced table); re-raises a failed fold."""
+        pending = getattr(self, "_maintenance_future", None)
+        if pending is not None:
+            pending.result()
+            self._maintenance_future = None
 
     def analyze(self, cols: list[str]) -> int:
         """Maintenance commit that turns the manifest into a ZONE MAP

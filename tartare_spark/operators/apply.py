@@ -160,9 +160,18 @@ def apply_batch(
     fence_lateness: int = 0,
     fence_order_check: bool = True,
     cow_changelog: bool = True,
+    compact_async: bool = False,
 ) -> dict:
     """Apply one micro-batch of change events. Idempotent by batch_id.
     Returns a metrics record (also appended to the lake's metrics log).
+
+    ``compact_async=True`` hands a tripped compaction threshold to the
+    lake's single maintenance thread (``submit_compaction``) instead of
+    folding on this thread — the foreachBatch returns to the trigger
+    loop immediately, removing the fold from trigger-to-trigger
+    latency. Safe under the concurrent-commit discipline ``compact``
+    now enforces (surgical delta-clear + claim retry); drain with
+    ``lake.wait_maintenance()`` before treating the table as quiesced.
 
     ``lsn_fence="manifest"`` applies :func:`manifest_watermark_fence`
     (with ``fence_lateness`` slack) to the batch before staging —
@@ -405,22 +414,27 @@ def apply_batch(
     if compact_worst:
         # maintenance AFTER the batch's metrics record: the commit is
         # already published and consumers already see the batch, and the
-        # fold is excluded from the batch's seconds/keys_per_sec. It
-        # still runs synchronously on the foreachBatch thread, so it
-        # delays the NEXT trigger — what moved is metrics attribution
-        # and publish-before-compact ordering, not trigger-to-trigger
-        # latency (an async maintenance thread would change crash
-        # semantics: orphaned half-folds vs today's deterministic state).
-        t1 = time.time()
-        n_compacted = lake.compact(spark, buckets=compact_worst)
-        lake.append_metrics(
-            {
-                "batch_id": batch_id,
-                "maintenance": True,
-                "compacted_buckets": n_compacted,
-                "seconds": round(time.time() - t1, 4),
-            }
-        )
+        # fold is excluded from the batch's seconds/keys_per_sec.
+        if compact_async:
+            # off-thread: the fold overlaps the NEXT trigger's work
+            # (compact's surgical delta-clear + claim retry make the
+            # concurrent commit safe); skipped if one is already in
+            # flight — deltas accumulate and the next fold coalesces.
+            lake.submit_compaction(spark, compact_worst, batch_id)
+        else:
+            # sync default: runs on the foreachBatch thread, so it
+            # delays the NEXT trigger, but a crash window never holds
+            # an unpublished fold.
+            t1 = time.time()
+            n_compacted = lake.compact(spark, buckets=compact_worst)
+            lake.append_metrics(
+                {
+                    "batch_id": batch_id,
+                    "maintenance": True,
+                    "compacted_buckets": n_compacted,
+                    "seconds": round(time.time() - t1, 4),
+                }
+            )
     return rec
 
 

@@ -45,6 +45,7 @@ def run_stream(
     fence_lateness: int = 0,
     fence_order_check: bool = True,
     envelope: bool = False,
+    compact_async: bool = False,
 ):
     """Tail ``events_dir`` (parquet file stream) into ``lake``.
 
@@ -100,6 +101,10 @@ def run_stream(
             lsn_fence="manifest" if manifest_fence else None,
             fence_lateness=fence_lateness,
             fence_order_check=fence_order_check,
+            # off-thread compaction (lake.submit_compaction): the fold
+            # overlaps the next trigger instead of delaying it; drained
+            # below after termination
+            compact_async=compact_async,
         )
 
     # unique per-run query name: the progress listener filters on it,
@@ -142,6 +147,11 @@ def run_stream(
         # recentProgress (dump_progress also dedupes against the
         # file, so an in-flight listener write can't duplicate).
         dump_progress(query, lake, seen=listener.seen)
+        if compact_async:
+            # the last fold may still be in flight after the final
+            # trigger — drain it so callers see a quiesced table (and
+            # a failed fold raises HERE, not silently)
+            lake.wait_maintenance()
         return query
     return writer.start()
 

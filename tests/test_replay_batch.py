@@ -631,3 +631,58 @@ def test_rebucket_partition_evolution(spark, unit_events, tmp_path):
     # replay continues on the new layout and state stays referee-correct
     replay_batches(spark, lake, unit_events, num_chunks=2, start_batch_id=99)
     assert_state_equals_referee(spark, lake)
+
+
+def test_compact_concurrent_commit_not_lost(spark, unit_events, tmp_path):
+    """The async-maintenance race, forced deterministically: a writer
+    commits NEW deltas to the same buckets between compaction's fold
+    and its publish. The fold must lose the version claim, retry, keep
+    the interleaved delta files in the manifest, and the final resolved
+    state must equal a replay where no compaction ran at all."""
+    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=8, mode="mor")
+    lo, hi = unit_events.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = (int(lo) + int(hi)) // 2
+    first, second = (
+        unit_events.filter(F.col("lsn") <= mid),
+        unit_events.filter(F.col("lsn") > mid),
+    )
+    apply_batch(spark, lake, first, batch_id=0)
+    v_before = lake.current_version()
+
+    def interleaved_commit():
+        apply_batch(spark, lake, second, batch_id=1)
+
+    n = lake.compact(spark, _pre_publish_hook=interleaved_commit)
+    assert n > 0
+    # both the writer's commit and the fold's commit are in history
+    assert lake.current_version() == v_before + 2
+    m = lake.manifest()
+    assert m["stats"].get("compaction"), "last commit should be the fold"
+    # the interleaved batch's delta files survived the fold's publish
+    assert any(fl for fl in m.get("deltas", {}).values()), (
+        "concurrent writer's deltas were dropped by the compaction publish"
+    )
+    # and the resolved state is the full two-batch replay
+    ref = LakeTable.create(str(tmp_path / "ref"), num_buckets=8, mode="mor")
+    apply_batch(spark, ref, first, batch_id=0)
+    apply_batch(spark, ref, second, batch_id=1)
+    a = lake.snapshot(spark).drop("_ts")
+    b = ref.snapshot(spark).drop("_ts")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_async_compaction_replay_matches_referee(spark, unit_events, tmp_path):
+    """compact_async=True: folds run on the maintenance thread while
+    the next batches commit; after draining, state equals the referee
+    and at least one async fold actually happened."""
+    lake = LakeTable.create(
+        str(tmp_path / "lake_async"), num_buckets=8, mode="mor",
+        compact_every=3,
+    )
+    replay_batches(spark, lake, unit_events, num_chunks=9, compact_async=True)
+    lake.wait_maintenance()
+    assert any(
+        m.get("maintenance") and m.get("async") for m in lake.metrics()
+    ), "no async fold ran — compact_every threshold never tripped?"
+    assert_state_equals_referee(spark, lake)

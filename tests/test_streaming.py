@@ -391,3 +391,21 @@ def test_streaming_envelope_source_matches_referee(
     )
     assert lake.current_version() >= 2
     _assert_matches(spark, lake, reg, expected)
+
+
+def test_streaming_async_compaction(spark, unit_events_dir, tmp_path, expected):
+    """T1 + async maintenance: folds overlap the trigger loop, the
+    run_stream exit drains the last in-flight fold, and the final
+    state still matches the referee exactly."""
+    lake = LakeTable.create(
+        str(tmp_path / "lake"), num_buckets=8, compact_every=3
+    )
+    reg = SchemaRegistry(registry_rows(UNIT))
+    run_stream(
+        spark, unit_events_dir, lake, str(tmp_path / "ckpt"),
+        registry=reg, max_files_per_trigger=4, compact_async=True,
+    )
+    assert any(
+        m.get("maintenance") and m.get("async") for m in lake.metrics()
+    )
+    _assert_matches(spark, lake, reg, expected)
