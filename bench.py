@@ -42,6 +42,10 @@ HEADLINE_QUERIES = [
     "tx1_document_stats",
     "f5_json_settings",
     "mm1_blob_metadata",
+    # round-4 operators: SCD2 history (one window over the event log)
+    # and the Debezium envelope round-trip (to_json → from_json, codegen)
+    "w5_scd2_history",
+    "s11_cdc_envelope_source",
 ]
 
 

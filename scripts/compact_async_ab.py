@@ -44,6 +44,7 @@ def main() -> None:
         ev = spark.read.parquet(os.path.join(work, "events", "*.parquet"))
 
         results = {}
+        lakes = {}
         for label in ("warmup", "sync", "async", "sync2", "async2"):
             mode_async = label.startswith("async")
             lake = LakeTable.create(
@@ -61,6 +62,7 @@ def main() -> None:
                 m for m in lake.metrics() if m.get("maintenance")
             ]
             rows = lake.snapshot(spark).count()
+            lakes[label] = lake
             results[label] = {
                 "wall_seconds": round(wall, 3),
                 "events_per_sec": round(n_events / wall, 1),
@@ -72,9 +74,14 @@ def main() -> None:
             }
             print(f"{label}: {json.dumps(results[label])}", flush=True)
 
-        assert (
-            results["sync"]["final_rows"] == results["async"]["final_rows"]
-        ), "state diverged between sync and async maintenance!"
+        rowcounts = {results[k]["final_rows"] for k in results}
+        assert len(rowcounts) == 1, f"final_rows diverged: {results}"
+        # full-state equality (not just counts) between the modes: every
+        # column of every row, both directions
+        a = lakes["sync"].snapshot(spark).drop("_ts")
+        b = lakes["async"].snapshot(spark).drop("_ts")
+        diffs = a.exceptAll(b).count() + b.exceptAll(a).count()
+        assert diffs == 0, f"sync vs async snapshots differ in {diffs} rows"
         best_sync = min(results[k]["wall_seconds"] for k in ("sync", "sync2"))
         best_async = min(
             results[k]["wall_seconds"] for k in ("async", "async2")

@@ -62,6 +62,8 @@ def cmd_replay(args) -> int:
         manifest_fence=args.manifest_fence,
         fence_lateness=args.fence_lateness,
         drop_dup_within_watermark=args.watermark_dedup,
+        envelope=args.envelope,
+        compact_async=args.compact_async,
     )
     # report only THIS run's batches (metrics.jsonl is cumulative
     # across replays into the same lake)
@@ -209,6 +211,23 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_mv(args) -> int:
+    from tartare_spark.lake.table import LakeTable
+    from tartare_spark.operators.mv import build_mv, read_mv, refresh_mv
+
+    spark = _spark(args)
+    lake = LakeTable(args.lake)
+    if args.action == "build":
+        out = build_mv(spark, lake, args.mv, group_col=args.group_col)
+    elif args.action == "refresh":
+        out = refresh_mv(spark, lake, args.mv, group_col=args.group_col)
+    else:
+        out = read_mv(spark, args.mv)
+    for row in out.orderBy(args.group_col).limit(args.limit).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
 def cmd_history(args) -> int:
     lake = _lake(args)
     for rec in lake.history():
@@ -244,6 +263,10 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--fence-lateness", type=int, default=0,
                    help="LSN reordering slack for --manifest-fence")
     r.add_argument("--watermark-dedup", action="store_true", help="dropDuplicatesWithinWatermark on lsn (T2)")
+    r.add_argument("--envelope", action="store_true",
+                   help="events dir holds Debezium-style JSON envelopes (S11), not parquet changelogs")
+    r.add_argument("--compact-async", action="store_true",
+                   help="run tripped compactions on the maintenance thread instead of between triggers")
     r.set_defaults(fn=cmd_replay)
 
     s = sub.add_parser("snapshot", help="read the live snapshot (or a past version)")
@@ -308,6 +331,16 @@ def build_parser() -> argparse.ArgumentParser:
     h = sub.add_parser("history", help="commit history (version, batch, wall-clock stamp, stats)")
     h.add_argument("--lake", required=True)
     h.set_defaults(fn=cmd_history)
+
+    mv = sub.add_parser(
+        "mv", help="materialized view: build / incremental refresh / read (S10)"
+    )
+    mv.add_argument("action", choices=["build", "refresh", "read"])
+    mv.add_argument("--lake", required=True)
+    mv.add_argument("--mv", required=True, help="MV state directory")
+    mv.add_argument("--group-col", default="repo")
+    mv.add_argument("--limit", type=int, default=20)
+    mv.set_defaults(fn=cmd_mv)
     return p
 
 

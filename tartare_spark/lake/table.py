@@ -564,6 +564,53 @@ class LakeTable:
     # ------------------------------------------------------------------
     # writes
     # ------------------------------------------------------------------
+    def _publish_writer_commit(self, attempt_fn) -> None:
+        """Writer-side counterpart of :meth:`compact`'s claim retry:
+        rebuild and re-publish when the version claim was lost to one
+        of the table's own MAINTENANCE commits (compaction / analyze
+        keep the parent's ``batch_id``, so ``last_batch_id()`` is
+        unchanged by them). Without this, an async fold publishing in
+        the window between a writer's manifest read and its claim
+        would kill the stream. A claim lost to a DIFFERENT writer
+        (``batch_id`` advanced) stays a loud ConcurrentCommitError —
+        one active writer per table is the contract, and the
+        maintenance thread is not a second writer. Backoff covers the
+        winner's link-to-pointer-swap window (claim exists but
+        ``_current`` not yet advanced, so an immediate re-read would
+        rebuild the identical losing claim)."""
+        observed = self.last_batch_id()
+        for attempt in range(16):
+            try:
+                return attempt_fn()
+            except ConcurrentCommitError as err:
+                if self.last_batch_id() != observed:
+                    raise  # a different WRITER's commit is published
+                # inspect the claim we lost to: maintenance claims carry
+                # the parent's batch_id. Anything else — a foreign
+                # batch_id (stale claim of a crashed second writer) or
+                # an unreadable file (storage corruption) — is not ours
+                # to absorb: re-raise the original loud error.
+                claim = _manifest_path(self.root, self.current_version() + 1)
+                try:
+                    with open(claim) as f:
+                        claim_batch = json.load(f).get("batch_id")
+                except FileNotFoundError:
+                    # maintenance finished its pointer swap between our
+                    # failed link and this read — safe to rebuild now
+                    continue
+                except (json.JSONDecodeError, ValueError):
+                    raise err
+                if claim_batch != observed:
+                    raise
+                # maintenance holds the claim (link done, pointer swap
+                # pending) — give it time to advance _current
+                time.sleep(0.02 * (attempt + 1))
+        raise ConcurrentCommitError(
+            "writer lost the version claim 16 times to maintenance "
+            f"commits on {self.root} — maintenance is publishing faster "
+            "than the manifest can be re-read"
+        )
+
     def write_and_commit(
         self,
         merged: DataFrame,
@@ -593,26 +640,28 @@ class LakeTable:
             merged, f"batch-{batch_id}-{uuid.uuid4().hex[:8]}", len(touched_buckets)
         )
 
-        prev = self.manifest()
-        files = dict(prev["files"])
-        deltas = dict(prev.get("deltas", {}))
-        for b in touched_buckets:
-            files[str(b)] = sorted(new_files.get(b, []))
-            # a base rewrite of a bucket supersedes its deltas (the CoW
-            # merge read them resolved via read_raw)
-            if str(b) in deltas:
-                deltas[str(b)] = []
+        def _attempt():
+            prev = self.manifest()
+            files = dict(prev["files"])
+            deltas = dict(prev.get("deltas", {}))
+            for b in touched_buckets:
+                files[str(b)] = sorted(new_files.get(b, []))
+                # a base rewrite of a bucket supersedes its deltas (the
+                # CoW merge read them resolved via read_raw)
+                if str(b) in deltas:
+                    deltas[str(b)] = []
+            self._publish(
+                prev,
+                batch_id=batch_id,
+                files=files,
+                deltas=deltas,
+                bucket_lsn_updates=bucket_lsn_updates,
+                schema_version=schema_version,
+                extra_stats=extra_stats,
+                changelog=sorted(changelog_files) if changelog_files else None,
+            )
 
-        self._publish(
-            prev,
-            batch_id=batch_id,
-            files=files,
-            deltas=deltas,
-            bucket_lsn_updates=bucket_lsn_updates,
-            schema_version=schema_version,
-            extra_stats=extra_stats,
-            changelog=sorted(changelog_files) if changelog_files else None,
-        )
+        self._publish_writer_commit(_attempt)
         return True
 
     def commit_delta(
@@ -637,20 +686,24 @@ class LakeTable:
             len(touched_buckets), blooms=False, codec="lz4",
         )
 
-        prev = self.manifest()
-        deltas = {k: list(v) for k, v in prev.get("deltas", {}).items()}
-        for b in touched_buckets:
-            deltas.setdefault(str(b), []).extend(sorted(new_files.get(b, [])))
+        def _attempt():
+            prev = self.manifest()
+            deltas = {k: list(v) for k, v in prev.get("deltas", {}).items()}
+            for b in touched_buckets:
+                deltas.setdefault(str(b), []).extend(
+                    sorted(new_files.get(b, []))
+                )
+            self._publish(
+                prev,
+                batch_id=batch_id,
+                files=dict(prev["files"]),
+                deltas=deltas,
+                bucket_lsn_updates=bucket_lsn_updates,
+                schema_version=schema_version,
+                extra_stats=extra_stats,
+            )
 
-        self._publish(
-            prev,
-            batch_id=batch_id,
-            files=dict(prev["files"]),
-            deltas=deltas,
-            bucket_lsn_updates=bucket_lsn_updates,
-            schema_version=schema_version,
-            extra_stats=extra_stats,
-        )
+        self._publish_writer_commit(_attempt)
         return True
 
     def append_delta(
@@ -694,19 +747,24 @@ class LakeTable:
         max_lsn = max(bucket_lsn_updates.values())
         schema_version = schema_version_fn(max_lsn) if schema_version_fn else None
 
-        prev = self.manifest()
-        deltas = {k: list(v) for k, v in prev.get("deltas", {}).items()}
-        for b in touched:
-            deltas.setdefault(str(b), []).extend(sorted(new_files.get(b, [])))
-        self._publish(
-            prev,
-            batch_id=batch_id,
-            files=dict(prev["files"]),
-            deltas=deltas,
-            bucket_lsn_updates=bucket_lsn_updates,
-            schema_version=schema_version,
-            extra_stats={**(extra_stats or {}), "keys": n_keys},
-        )
+        def _attempt():
+            prev = self.manifest()
+            deltas = {k: list(v) for k, v in prev.get("deltas", {}).items()}
+            for b in touched:
+                deltas.setdefault(str(b), []).extend(
+                    sorted(new_files.get(b, []))
+                )
+            self._publish(
+                prev,
+                batch_id=batch_id,
+                files=dict(prev["files"]),
+                deltas=deltas,
+                bucket_lsn_updates=bucket_lsn_updates,
+                schema_version=schema_version,
+                extra_stats={**(extra_stats or {}), "keys": n_keys},
+            )
+
+        self._publish_writer_commit(_attempt)
         return {
             "keys": n_keys,
             "touched_buckets": touched,
@@ -810,6 +868,10 @@ class LakeTable:
                 )
                 return len(delta_buckets)
             except ConcurrentCommitError:
+                # backoff: the winner may have linked its claim but not
+                # yet advanced _current — an immediate re-read would
+                # rebuild the identical losing claim
+                time.sleep(0.02 * (_attempt + 1))
                 continue
         raise ConcurrentCommitError(
             "compaction lost the version-claim race 16 times — a writer "

@@ -27,9 +27,10 @@ Semantics: ``c`` maps to the engine's "insert", ``u``/``r``
 identically, so the distinction is informational but round-trips —
 and ``d`` maps to "delete", carrying only the before-image key
 fields, per Debezium convention.
-Malformed JSON parses to a null envelope; ``drop_malformed=True``
-filters those rows (the default surfaces them as all-null rows so a
-caller can dead-letter them instead).
+Malformed JSON parses to a null envelope, and non-row-change op codes
+(Debezium's ``t`` truncate / ``m`` message, or anything unknown) keep
+a null ``op``; ``drop_malformed=True`` filters both (the default
+surfaces them so a caller can dead-letter them instead).
 """
 
 from __future__ import annotations
@@ -85,9 +86,13 @@ def envelope_changelog(
     row = F.coalesce(e["after"], e["before"])
     out = raw.select(
         e["source"]["lsn"].alias("lsn"),
+        # ONLY the known row-change codes map; anything else (Debezium
+        # also emits 't' truncate and 'm' message events, plus whatever
+        # a future connector adds) stays null-op so it is dead-lettered
+        # or dropped below — never upserted as a null-key phantom row
         F.when(e["op"] == "d", F.lit("delete"))
         .when(e["op"] == "c", F.lit("insert"))
-        .when(e["op"].isNotNull(), F.lit("update"))
+        .when(e["op"].isin("u", "r"), F.lit("update"))
         .alias("op"),
         row["repo"].alias("repo"),
         row["path"].alias("path"),
@@ -97,5 +102,5 @@ def envelope_changelog(
         F.timestamp_millis(e["source"]["ts_ms"]).alias("ts"),
     )
     if drop_malformed:
-        out = out.filter(F.col("lsn").isNotNull())
+        out = out.filter(F.col("lsn").isNotNull() & F.col("op").isNotNull())
     return out

@@ -65,10 +65,13 @@ def _read_meta(mv_path: str) -> dict:
 
 
 def _publish(mv_path: str, mv_version: int, lake_version: int) -> None:
-    tmp = _meta_path(mv_path) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"mv_version": mv_version, "lake_version": lake_version}, f)
-    os.replace(tmp, _meta_path(mv_path))
+    # same fsync'd manifest-last discipline as the lake itself
+    from tartare_spark.lake.table import _atomic_write_json
+
+    _atomic_write_json(
+        _meta_path(mv_path),
+        {"mv_version": mv_version, "lake_version": lake_version},
+    )
 
 
 def _data_dir(mv_path: str, mv_version: int) -> str:
@@ -114,7 +117,8 @@ def refresh_mv(
     if from_v == to_v:
         return read_mv(spark, mv_path)
     spliced = refresh_plan(
-        spark, lake, mv_path, from_v, to_v, group_col=group_col, agg=agg
+        spark, lake, mv_path, from_v, to_v,
+        mv_version=int(meta["mv_version"]), group_col=group_col, agg=agg,
     )
     next_version = int(meta["mv_version"]) + 1
     spliced.write.mode("overwrite").parquet(_data_dir(mv_path, next_version))
@@ -128,12 +132,18 @@ def refresh_plan(
     mv_path: str,
     from_v: int,
     to_v: int,
+    mv_version: int | None = None,
     group_col: str = "repo",
     agg: Callable[[DataFrame, str], DataFrame] = group_file_stats,
 ) -> DataFrame:
     """The refresh dataflow, unexecuted (split out so tests can assert
     its physical plan: dirty keys broadcast to BOTH the snapshot-side
-    semi-join and the MV-side anti-join, never a shuffle of either)."""
+    semi-join and the MV-side anti-join, never a shuffle of either).
+    ``mv_version`` pins which MV state is spliced; it must be the
+    version whose recorded lake watermark is ``from_v`` (``refresh_mv``
+    passes both from one meta read; defaults to the on-disk current)."""
+    if mv_version is None:
+        mv_version = int(_read_meta(mv_path)["mv_version"])
     feed = lake.changes(spark, from_v, to_v)
     dirty = feed.select(group_col).distinct()
     recomputed = agg(
@@ -142,7 +152,6 @@ def refresh_plan(
         ),
         group_col,
     )
-    meta = _read_meta(mv_path)
-    prev = spark.read.parquet(_data_dir(mv_path, meta["mv_version"]))
+    prev = spark.read.parquet(_data_dir(mv_path, mv_version))
     kept = prev.join(F.broadcast(dirty), group_col, "left_anti")
     return kept.unionByName(recomputed)

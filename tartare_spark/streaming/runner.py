@@ -18,6 +18,7 @@ files (never a published manifest), which vacuum() reclaims.
 from __future__ import annotations
 
 import os
+import sys
 import uuid
 
 from pyspark.sql import SparkSession
@@ -76,17 +77,16 @@ def run_stream(
     slack for sources with bounded reordering. Measured break-even vs
     the state-store fence is documented in BENCH/BASELINE.md.
     """
+    reader = spark.readStream
+    if not envelope:
+        reader = reader.schema(CHANGE_EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     if envelope:
         from tartare_spark.operators.envelope import envelope_changelog
 
-        reader = spark.readStream
-        if max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         src = envelope_changelog(reader.text(events_dir), drop_malformed=True)
     else:
-        reader = spark.readStream.schema(CHANGE_EVENT_SCHEMA)
-        if max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         src = reader.parquet(events_dir)
     if drop_dup_within_watermark:
         src = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["lsn"])
@@ -143,14 +143,28 @@ def run_stream(
             # removed even when start() itself raises — otherwise the
             # listener leaks for the session's lifetime
             spark.streams.removeListener(listener)
+            if compact_async:
+                # drained even when the query FAILED: otherwise the
+                # in-flight fold keeps mutating the table after
+                # run_stream returns (racing whatever recovery the
+                # caller starts next) and a failed fold's error is
+                # never surfaced. In the failure path the fold's own
+                # error must not mask the query's — swallow it here;
+                # the success path re-raises it below.
+                try:
+                    lake.wait_maintenance()
+                except Exception as fold_err:  # noqa: BLE001
+                    print(
+                        f"tartare: async fold failed during stream "
+                        f"teardown: {fold_err!r}",
+                        file=sys.stderr,
+                    )
         # listener delivery is async — reconcile anything still in
         # recentProgress (dump_progress also dedupes against the
         # file, so an in-flight listener write can't duplicate).
         dump_progress(query, lake, seen=listener.seen)
         if compact_async:
-            # the last fold may still be in flight after the final
-            # trigger — drain it so callers see a quiesced table (and
-            # a failed fold raises HERE, not silently)
+            # success path: a failed fold raises HERE, loudly
             lake.wait_maintenance()
         return query
     return writer.start()

@@ -75,3 +75,63 @@ def test_cli_end_to_end(spark, unit_events_dir, tmp_path, capsys):
     # errors are one-line + exit 1, not tracebacks
     rc = main(["metrics", "--lake", str(tmp_path / "missing")])
     assert rc == 1
+
+
+def test_cli_mv_and_envelope_replay(spark, unit_events_dir, tmp_path, capsys):
+    """mv build/refresh/read subcommands + envelope replay flag."""
+    from pyspark.sql import functions as F
+
+    from tartare_spark.operators.envelope import to_envelope
+
+    # write the unit log as a Debezium topic dump and replay from it
+    ev = spark.read.parquet(f"{unit_events_dir}/*.parquet")
+    topic = str(tmp_path / "topic")
+    to_envelope(ev).coalesce(4).write.mode("overwrite").text(topic)
+    lake_dir = str(tmp_path / "lake")
+    rc = main(
+        [
+            "replay",
+            "--events", topic,
+            "--lake", lake_dir,
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--create", "--buckets", "8",
+            "--envelope", "--compact-async",
+        ]
+    )
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows_applied"] > 0
+    # the envelope replay reached the same live state as the direct API
+    lake = LakeTable(lake_dir)
+    direct = lake.snapshot(spark)
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    last = (
+        ev.withColumn(
+            "_rn",
+            F.row_number().over(
+                w.partitionBy("repo", "path").orderBy(F.col("lsn").desc())
+            ),
+        )
+        .filter("_rn = 1")
+        .filter("op <> 'delete'")
+    )
+    assert direct.count() == last.count()
+
+    rc = main(["mv", "build", "--lake", lake_dir, "--mv", str(tmp_path / "mv")])
+    assert rc == 0
+    built = [
+        json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+        if l.startswith("{")
+    ]
+    assert built and all("n_paths" in r for r in built)
+    rc = main(["mv", "refresh", "--lake", lake_dir, "--mv", str(tmp_path / "mv")])
+    assert rc == 0
+    rc = main(["mv", "read", "--lake", lake_dir, "--mv", str(tmp_path / "mv")])
+    assert rc == 0
+    read_out = [
+        json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+        if l.startswith("{")
+    ]
+    assert read_out

@@ -974,12 +974,18 @@ def test_envelope_malformed_rows(spark):
             ('{"op":"u","after":{"repo":"r","path":"p","commit":"c",'
              '"content":"x"},"source":{"lsn":7,"ts_ms":1000}}',),
             ("this is not json",),
+            # valid JSON, non-row-change op (Debezium truncate): must
+            # surface null-op, never decode as a null-key update
+            ('{"op":"t","source":{"lsn":9,"ts_ms":2000}}',),
         ],
         "value string",
     )
     kept = envelope_changelog(raw)
-    assert kept.count() == 2
+    assert kept.count() == 3
     assert kept.filter(F.col("lsn").isNull() & F.col("op").isNull()).count() == 1
+    assert (
+        kept.filter((F.col("lsn") == 9) & F.col("op").isNull()).count() == 1
+    ), "truncate event decoded as a row change"
     strict = envelope_changelog(raw, drop_malformed=True)
     assert strict.count() == 1
     assert strict.first()["lsn"] == 7

@@ -686,3 +686,90 @@ def test_async_compaction_replay_matches_referee(spark, unit_events, tmp_path):
         m.get("maintenance") and m.get("async") for m in lake.metrics()
     ), "no async fold ran — compact_every threshold never tripped?"
     assert_state_equals_referee(spark, lake)
+
+
+def test_writer_retries_past_maintenance_claim(
+    spark, unit_events, tmp_path, monkeypatch
+):
+    """The OTHER direction of the async race: the maintenance fold
+    claims the next version in the window between the writer's
+    manifest read and its own claim. The writer must absorb the lost
+    claim (maintenance keeps the parent batch_id) and retry onto the
+    post-fold manifest — not kill the stream with
+    ConcurrentCommitError."""
+    lake = LakeTable.create(
+        str(tmp_path / "lake"), num_buckets=8, mode="mor",
+        compact_every=10_000,  # no automatic folds — we inject one
+    )
+    lo, hi = unit_events.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = (int(lo) + int(hi)) // 2
+    first, second = (
+        unit_events.filter(F.col("lsn") <= mid),
+        unit_events.filter(F.col("lsn") > mid),
+    )
+    apply_batch(spark, lake, first, batch_id=0)
+
+    orig = LakeTable._claim_and_write_manifest
+    fired = {"done": False}
+
+    def intercept(self, manifest):
+        # just as the WRITER publishes batch 1, a fold steals the version
+        if not fired["done"] and manifest.get("batch_id") == 1:
+            fired["done"] = True
+            lake.compact(spark)
+        return orig(self, manifest)
+
+    monkeypatch.setattr(LakeTable, "_claim_and_write_manifest", intercept)
+    apply_batch(spark, lake, second, batch_id=1)  # must not raise
+    assert fired["done"], "interleave hook never fired"
+    # history holds batch 0, the fold, and batch 1 (retried onto v+1)
+    m = lake.manifest()
+    assert m["batch_id"] == 1
+    parent = lake.manifest(m["parent"])
+    assert parent["stats"].get("compaction"), "fold commit missing from history"
+    # and the state is the full two-batch replay
+    ref = LakeTable.create(str(tmp_path / "ref"), num_buckets=8, mode="mor")
+    apply_batch(spark, ref, first, batch_id=0)
+    apply_batch(spark, ref, second, batch_id=1)
+    a = lake.snapshot(spark).drop("_ts")
+    b = ref.snapshot(spark).drop("_ts")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_writer_conflict_with_second_writer_stays_loud(
+    spark, unit_events, tmp_path, monkeypatch
+):
+    """The retry must ONLY absorb maintenance claims: a claim lost to a
+    DIFFERENT writer (batch_id advanced) is a deployment error and
+    still raises ConcurrentCommitError."""
+    import pytest as _pytest
+
+    from tartare_spark.lake.table import ConcurrentCommitError
+
+    lake = LakeTable.create(
+        str(tmp_path / "lake"), num_buckets=8, mode="mor",
+        compact_every=10_000,
+    )
+    lo, hi = unit_events.agg(F.min("lsn"), F.max("lsn")).first()
+    mid = (int(lo) + int(hi)) // 2
+    first, second = (
+        unit_events.filter(F.col("lsn") <= mid),
+        unit_events.filter(F.col("lsn") > mid),
+    )
+    apply_batch(spark, lake, first, batch_id=0)
+
+    orig = LakeTable._claim_and_write_manifest
+    fired = {"done": False}
+
+    def intercept(self, manifest):
+        if not fired["done"] and manifest.get("batch_id") == 1:
+            fired["done"] = True
+            # a SECOND WRITER (new batch_id) steals the version
+            rogue = LakeTable(lake.root)
+            apply_batch(spark, rogue, second.limit(50), batch_id=7)
+        return orig(self, manifest)
+
+    monkeypatch.setattr(LakeTable, "_claim_and_write_manifest", intercept)
+    with _pytest.raises(ConcurrentCommitError):
+        apply_batch(spark, lake, second, batch_id=1)
