@@ -113,7 +113,10 @@ def cmd_compact(args) -> int:
     buckets = (
         [int(b) for b in args.buckets.split(",")] if args.buckets else None
     )
-    n = lake.compact(spark, buckets=buckets)
+    n = lake.compact(
+        spark, buckets=buckets,
+        max_records_per_file=args.max_records_per_file,
+    )
     print(json.dumps({"compacted_buckets": n, "lake_version": lake.current_version()}))
     return 0
 
@@ -285,6 +288,8 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("compact", help="fold delta files back into bucket bases")
     c.add_argument("--lake", required=True)
     c.add_argument("--buckets", help="comma-separated bucket ids (default: all delta'd)")
+    c.add_argument("--max-records-per-file", type=int, default=None,
+                   help="file-size target for the rewrite (smaller = tighter zone-map ranges)")
     c.set_defaults(fn=cmd_compact)
 
     v = sub.add_parser("vacuum", help="delete unreferenced orphan data files")

@@ -780,6 +780,7 @@ class LakeTable:
         self,
         spark: SparkSession,
         buckets: list[int] | None = None,
+        max_records_per_file: int | None = None,
         _pre_publish_hook=None,
     ) -> int:
         """Fold delta files back into the base (MOR maintenance): resolve
@@ -826,13 +827,19 @@ class LakeTable:
         )
         clustered = resolved.repartition(
             max(len(delta_buckets), 1), "_bucket"
-        ).sortWithinPartitions("repo", "path")
+        ).sortWithinPartitions("_bucket", "repo", "path")
         new_files = self._write_data_files(
             clustered,
             f"compact-{m0['version']}-{uuid.uuid4().hex[:8]}",
             len(delta_buckets),
             pre_partitioned=True,
             codec="zstd",
+            # file-size target: the rewrite is key-sorted, so SMALLER
+            # files mean TIGHTER per-file (repo, path) ranges — which is
+            # what manifest zone maps (analyze/scan_where) prune on.
+            # Default 2M rows ≈ the 100 TB shape; pass a smaller target
+            # to trade file count for pruning selectivity.
+            max_records_per_file=max_records_per_file or 2_000_000,
         )
 
         for _attempt in range(16):
@@ -1057,7 +1064,7 @@ class LakeTable:
         )
         clustered = resolved.repartition(
             max(new_num_buckets, 1), "_bucket"
-        ).sortWithinPartitions("repo", "path")
+        ).sortWithinPartitions("_bucket", "repo", "path")
         self.num_buckets = new_num_buckets  # writer + _publish use this
         new_files = self._write_data_files(
             clustered,
@@ -1083,7 +1090,7 @@ class LakeTable:
     def _write_data_files(
         self, df: DataFrame, dirname: str, n_partitions: int,
         pre_partitioned: bool = False, blooms: bool = True,
-        codec: str | None = None,
+        codec: str | None = None, max_records_per_file: int = 2_000_000,
     ) -> dict[int, list[str]]:
         """One shuffle: co-locate each bucket into one task → one file
         per bucket (maxRecordsPerFile splits huge buckets). When the
@@ -1113,7 +1120,7 @@ class LakeTable:
         part = df if pre_partitioned else df.repartition(
             max(n_partitions, 1), "_bucket"
         )
-        writer = part.write.option("maxRecordsPerFile", 2_000_000)
+        writer = part.write.option("maxRecordsPerFile", max_records_per_file)
         if codec:
             writer = writer.option("compression", codec)
         if blooms:

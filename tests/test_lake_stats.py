@@ -220,3 +220,58 @@ def test_analyze_cli(spark, unit_events, tmp_path):
     rc = main(["analyze", "--lake", lake.root, "--cols", "_lsn,repo"])
     assert rc == 0
     assert lake.manifest()["stats_cols"] == ["_lsn", "repo"]
+
+
+def test_small_file_target_prunes_within_bucket(spark, tmp_path):
+    """compact(max_records_per_file=N) splits each bucket into several
+    key-sorted files with TIGHT per-file (repo) ranges — so a selective
+    repo predicate prunes files INSIDE a clean bucket, not just whole
+    buckets. Proven behaviorally: corrupt every pruned file, the scan
+    still answers exactly."""
+    rows = [
+        (
+            r * 40 + p + 1,
+            "update",
+            f"repo_{r:02d}",
+            f"src/f{p:03d}.py",
+            f"c{r}_{p}",
+            "py",
+            f"content-{r}-{p}",
+            datetime.datetime(2024, 1, 1, 0, 0, 0),
+        )
+        for r in range(16)
+        for p in range(40)
+    ]
+    ev = spark.createDataFrame(
+        rows, "lsn LONG, op STRING, repo STRING, path STRING, "
+        "commit STRING, lang STRING, content STRING, ts TIMESTAMP"
+    )
+    lake = LakeTable.create(str(tmp_path / "lake_split"), num_buckets=2)
+    apply_batch(spark, lake, ev, batch_id=1)
+    lake.compact(spark, max_records_per_file=60)
+    lake.analyze(["repo"])
+    m = lake.manifest()
+    per_bucket = {b: len(fl) for b, fl in m["files"].items()}
+    assert all(n >= 3 for n in per_bucket.values()), (
+        f"file-size target did not split buckets: {per_bucket}"
+    )
+
+    fstats = m["file_stats"]
+    target = max(s["repo"][1] for s in fstats.values())
+    bounds = {"repo": (target, target)}
+    pruned = [p for p, s in fstats.items() if not _stats_admit(s, bounds)]
+    # the point of the split: pruning must now act WITHIN a bucket —
+    # some bucket must keep at least one file while losing others
+    from collections import Counter
+
+    pruned_per_bucket = Counter(p.split("_bucket=")[1].split("/")[0] for p in pruned)
+    assert any(
+        0 < pruned_per_bucket.get(b, 0) < n for b, n in per_bucket.items()
+    ), f"no intra-bucket pruning: {pruned_per_bucket} of {per_bucket}"
+
+    expected = _rows_set(lake.scan_where(spark, bounds))
+    assert expected
+    for p in pruned:
+        with open(p, "wb") as f:
+            f.write(b"garbage")
+    assert _rows_set(lake.scan_where(spark, bounds)) == expected
