@@ -1408,7 +1408,16 @@ class LakeTable:
     def vacuum(self) -> int:
         """Delete orphan batch dirs not referenced by any RETAINED
         manifest (time-travel safe for retained snapshots; run
-        ``expire_snapshots`` first to shrink the retained set)."""
+        ``expire_snapshots`` first to shrink the retained set).
+
+        Drains the async maintenance worker first: an in-flight fold's
+        freshly-written files are unreferenced until its manifest
+        publishes, so vacuuming past a live fold would delete data the
+        next commit is about to reference (table corruption). The
+        drain makes vacuum-after-async-fold deterministic; a vacuum
+        run from a SEPARATE process still must not race a live writer
+        — same single-writer deployment contract as commits."""
+        self.wait_maintenance()
         referenced = self._referenced_files()
         removed = 0
         data = os.path.join(self.root, "data")

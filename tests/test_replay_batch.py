@@ -773,3 +773,25 @@ def test_writer_conflict_with_second_writer_stays_loud(
     monkeypatch.setattr(LakeTable, "_claim_and_write_manifest", intercept)
     with _pytest.raises(ConcurrentCommitError):
         apply_batch(spark, lake, second, batch_id=1)
+
+
+def test_vacuum_drains_inflight_fold(spark, unit_events, tmp_path):
+    """vacuum must not delete an in-flight async fold's files (they are
+    unreferenced until the fold publishes): it drains the maintenance
+    worker first, so the fold's commit lands and its files are
+    referenced by the time the orphan sweep runs."""
+    lake = LakeTable.create(
+        str(tmp_path / "lake"), num_buckets=8, mode="mor",
+        compact_every=10_000,
+    )
+    replay_batches(spark, lake, unit_events, num_chunks=4)
+    assert lake.max_delta_files() > 0
+    v_before = lake.current_version()
+    assert lake.submit_compaction(
+        spark, list(range(8)), batch_id=99
+    ), "fold submission was skipped"
+    lake.vacuum()  # drains; must NOT delete the fold's files
+    assert lake.current_version() == v_before + 1
+    assert lake.manifest()["stats"].get("compaction")
+    # the folded table still resolves fully (files all present)
+    assert_state_equals_referee(spark, lake)
