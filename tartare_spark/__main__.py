@@ -116,6 +116,7 @@ def cmd_compact(args) -> int:
     n = lake.compact(
         spark, buckets=buckets,
         max_records_per_file=args.max_records_per_file,
+        zorder=args.zorder.split(",") if args.zorder else None,
     )
     print(json.dumps({"compacted_buckets": n, "lake_version": lake.current_version()}))
     return 0
@@ -290,6 +291,11 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--buckets", help="comma-separated bucket ids (default: all delta'd)")
     c.add_argument("--max-records-per-file", type=int, default=None,
                    help="file-size target for the rewrite (smaller = tighter zone-map ranges)")
+    c.add_argument("--zorder",
+                   help="comma-separated columns: cluster the rewrite by an "
+                        "interleaved-bit Morton code over range bins of these "
+                        "columns instead of the lexicographic key sort "
+                        "(multi-dimensional zone-map pruning)")
     c.set_defaults(fn=cmd_compact)
 
     v = sub.add_parser("vacuum", help="delete unreferenced orphan data files")

@@ -781,6 +781,7 @@ class LakeTable:
         spark: SparkSession,
         buckets: list[int] | None = None,
         max_records_per_file: int | None = None,
+        zorder: list[str] | None = None,
         _pre_publish_hook=None,
     ) -> int:
         """Fold delta files back into the base (MOR maintenance): resolve
@@ -821,13 +822,29 @@ class LakeTable:
         # cluster the rewrite by key: sorted row groups get selective
         # parquet min/max stats on (repo, path), so later repo-filtered
         # scans prune row groups — a read optimization paid only during
-        # maintenance, never on the apply hot path.
+        # maintenance, never on the apply hot path. ``zorder=[c1, c2,
+        # ...]`` switches the sort key to an interleaved-bit Morton code
+        # over range bins of those columns (Delta OPTIMIZE ZORDER
+        # parity): per-file ranges stay bounded on EVERY listed column,
+        # so manifest zone maps prune multi-dimensionally — see
+        # lake/zorder.py and scripts/zorder_bench.py for the measured
+        # trade vs the lexicographic default.
         resolved = self.read_raw(
             spark, buckets=delta_buckets, version=m0["version"]
         )
-        clustered = resolved.repartition(
-            max(len(delta_buckets), 1), "_bucket"
-        ).sortWithinPartitions("_bucket", "repo", "path")
+        if zorder:
+            from tartare_spark.lake.zorder import zvalue
+
+            clustered = (
+                resolved.withColumn("_z", zvalue(resolved, zorder))
+                .repartition(max(len(delta_buckets), 1), "_bucket")
+                .sortWithinPartitions("_bucket", "_z")
+                .drop("_z")
+            )
+        else:
+            clustered = resolved.repartition(
+                max(len(delta_buckets), 1), "_bucket"
+            ).sortWithinPartitions("_bucket", "repo", "path")
         new_files = self._write_data_files(
             clustered,
             f"compact-{m0['version']}-{uuid.uuid4().hex[:8]}",

@@ -275,3 +275,107 @@ def test_small_file_target_prunes_within_bucket(spark, tmp_path):
         with open(p, "wb") as f:
             f.write(b"garbage")
     assert _rows_set(lake.scan_where(spark, bounds)) == expected
+
+
+# ----------------------------------------------------------------------
+# z-order compaction (lake/zorder.py)
+# ----------------------------------------------------------------------
+def _grid_lake(spark, tmp_path, name, zorder):
+    """32 repos x 32 paths, one event per key: under lexicographic
+    (repo, path) clustering every compacted file spans ~the whole path
+    domain; under z-order both per-file ranges stay bounded."""
+    rows = [
+        (
+            r * 32 + p + 1,
+            "update",
+            f"repo_{r:02d}",
+            f"p_{p:02d}",
+            f"c{r}_{p}",
+            "py",
+            f"content-{r}-{p}",
+            datetime.datetime(2024, 1, 1, 0, 0, 0),
+        )
+        for r in range(32)
+        for p in range(32)
+    ]
+    ev = spark.createDataFrame(
+        rows, "lsn LONG, op STRING, repo STRING, path STRING, "
+        "commit STRING, lang STRING, content STRING, ts TIMESTAMP"
+    )
+    lake = LakeTable.create(str(tmp_path / name), num_buckets=2)
+    apply_batch(spark, lake, ev, batch_id=1)
+    lake.compact(spark, max_records_per_file=64, zorder=zorder)
+    lake.analyze(["repo", "path"])
+    return lake
+
+
+def _kept(lake, bounds):
+    fstats = lake.manifest()["file_stats"]
+    return sum(1 for s in fstats.values() if _stats_admit(s, bounds)), len(fstats)
+
+
+def test_zorder_compaction_prunes_both_dimensions(spark, tmp_path):
+    lex = _grid_lake(spark, tmp_path, "lake_lex", zorder=None)
+    zo = _grid_lake(spark, tmp_path, "lake_zo", zorder=["repo", "path"])
+
+    # same table state either way — clustering is layout, not semantics
+    assert _rows_set(zo.snapshot(spark)) == _rows_set(lex.snapshot(spark))
+
+    path_bounds = {"path": ("p_08", "p_08")}
+    repo_bounds = {"repo": ("repo_08", "repo_08")}
+
+    lex_path_kept, lex_total = _kept(lex, path_bounds)
+    zo_path_kept, zo_total = _kept(zo, path_bounds)
+    # the reason z-order exists: a path-only predicate prunes (almost)
+    # nothing under lexicographic clustering — only a partial tail file
+    # can drop — but most files under z-order
+    assert lex_path_kept >= lex_total - 2, (
+        f"lex files should span the path domain: kept {lex_path_kept}"
+        f"/{lex_total}"
+    )
+    assert zo_path_kept <= zo_total // 2, (
+        f"z-order must bound per-file path ranges: kept {zo_path_kept}"
+        f"/{zo_total}"
+    )
+    # ...while repo pruning still works (degraded vs lex is fine)
+    zo_repo_kept, _ = _kept(zo, repo_bounds)
+    assert zo_repo_kept < zo_total
+
+    # and the pruned scans stay exact on both layouts
+    for lake in (lex, zo):
+        for bounds in (path_bounds, repo_bounds):
+            col, (lo, hi) = next(iter(bounds.items()))
+            want = _rows_set(
+                lake.snapshot(spark).filter(
+                    (F.col(col) >= lo) & (F.col(col) <= hi)
+                )
+            )
+            assert want, "target slice must be non-empty"
+            assert _rows_set(lake.scan_where(spark, bounds)) == want
+
+
+def test_zvalue_matches_python_morton(spark):
+    """The codegen'd bin + interleave arithmetic against a driver-side
+    reference on the same sampled boundaries."""
+    import bisect
+
+    from tartare_spark.lake.zorder import column_boundaries, zvalue
+
+    rows = [(f"a_{i:03d}", f"b_{(i * 7) % 100:03d}") for i in range(100)]
+    df = spark.createDataFrame(rows, "x STRING, y STRING")
+    cuts = {c: column_boundaries(df, c) for c in ("x", "y")}
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.withColumn("z", zvalue(df, ["x", "y"])).collect()
+    }
+
+    def ref_z(x, y):
+        bx = bisect.bisect_right(cuts["x"], x)
+        by = bisect.bisect_right(cuts["y"], y)
+        z = 0
+        for bit in range(8):
+            z |= ((bx >> bit) & 1) << (bit * 2)
+            z |= ((by >> bit) & 1) << (bit * 2 + 1)
+        return z
+
+    assert got == {(x, y): ref_z(x, y) for x, y in rows}
