@@ -85,7 +85,7 @@ def cmd_replay(args) -> int:
 def cmd_snapshot(args) -> int:
     spark = _spark(args)
     lake = _lake(args)
-    df = lake.snapshot(spark, version=args.version)
+    df = lake.snapshot(spark, version=args.version, tag=args.tag)
     if args.out:
         df.write.mode("overwrite").parquet(args.out)
         # count the just-written parquet (footer metadata only) instead
@@ -239,6 +239,19 @@ def cmd_history(args) -> int:
     return 0
 
 
+def cmd_tag(args) -> int:
+    lake = _lake(args)
+    if args.drop:
+        v = lake.drop_tag(args.name)
+        print(json.dumps({"dropped": args.name, "was_version": v}))
+    elif args.name:
+        v = lake.create_tag(args.name, version=args.version)
+        print(json.dumps({"tag": args.name, "version": v}))
+    else:
+        print(json.dumps(lake.tags()))
+    return 0
+
+
 def cmd_metrics(args) -> int:
     lake = _lake(args)
     # [-0:] would mean "everything"; tail<=0 means "nothing"
@@ -276,6 +289,7 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("snapshot", help="read the live snapshot (or a past version)")
     s.add_argument("--lake", required=True)
     s.add_argument("--version", type=int, default=None)
+    s.add_argument("--tag", default=None, help="read the snapshot a named tag pins")
     s.add_argument("--limit", type=int, default=20)
     s.add_argument("--out", help="write full snapshot as parquet instead of printing")
     s.set_defaults(fn=cmd_snapshot)
@@ -338,6 +352,13 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--lake", required=True)
     m.add_argument("--tail", type=int, default=20)
     m.set_defaults(fn=cmd_metrics)
+
+    tg = sub.add_parser("tag", help="named snapshot refs: create (--name [--version]), list (no args), drop (--name --drop)")
+    tg.add_argument("--lake", required=True)
+    tg.add_argument("--name", default=None)
+    tg.add_argument("--version", type=int, default=None)
+    tg.add_argument("--drop", action="store_true")
+    tg.set_defaults(fn=cmd_tag)
 
     h = sub.add_parser("history", help="commit history (version, batch, wall-clock stamp, stats)")
     h.add_argument("--lake", required=True)

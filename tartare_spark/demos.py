@@ -1933,6 +1933,45 @@ def tx7_hash_split(spark, sf_dir):
 
 
 @demo(
+    "tx8_regex_tokens",
+    # mirror operators/text.regex_token_stats: GPT-2-style pre-token
+    # pieces from a Java/RE2-portable pattern over normalized text;
+    # list_aggregate('sum') of [] is NULL in DuckDB → COALESCE, and its
+    # integer sum widens to HUGEINT → CAST to BIGINT (driver hash is
+    # type-sensitive)
+    """
+    WITH d AS (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    ), t AS (
+      SELECT doc_id,
+             regexp_extract_all(norm, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +') AS tk
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(len(tk) AS BIGINT) AS n_pieces,
+           CAST(len(list_filter(tk, x -> regexp_matches(x, '^ ?[a-z]+$')))
+                AS BIGINT) AS n_alpha,
+           CAST(len(list_filter(tk, x -> regexp_matches(x, '^ ?[0-9]+$')))
+                AS BIGINT) AS n_num,
+           CAST(COALESCE(list_aggregate(
+                  list_transform(tk, x -> length(x)), 'sum'), 0)
+                AS BIGINT) AS n_chars
+    FROM t
+    """,
+)
+def tx8_regex_tokens(spark, sf_dir):
+    """Token counting the way a training pipeline budgets corpora: a
+    GPT-2-style regex pre-tokenization (word / number / punctuation /
+    space pieces) with per-category counts. Pure codegen'd regex +
+    higher-order array ops, zero shuffle, zero Python."""
+    from tartare_spark.operators.text import regex_token_stats
+
+    return regex_token_stats(T(spark, sf_dir, "documents"))
+
+
+@demo(
     "a5b_approx_quantiles",
     # like a4b: the t-digest sketch differs across engines, so the
     # ASSERTION is exact — exact median/p90 plus a Spark-side boolean

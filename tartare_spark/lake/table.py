@@ -191,6 +191,49 @@ class LakeTable:
         with open(_manifest_path(self.root, v)) as f:
             return json.load(f)
 
+    # ------------------------------------------------------------------
+    # named refs (Iceberg tag parity)
+    # ------------------------------------------------------------------
+    def tags(self) -> dict[str, int]:
+        """All named tags → pinned version (Iceberg ``refs`` parity)."""
+        p = os.path.join(self.root, "_tags.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return {k: int(v) for k, v in json.load(f).items()}
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin ``name`` to a retained snapshot version (default:
+        current). A tag RETAINS its snapshot: ``expire_snapshots`` never
+        advances past the oldest tagged version, so a tagged snapshot
+        stays time-travelable (and its files vacuum-protected) until
+        ``drop_tag``. Re-tagging an existing name is an error — drop it
+        first (accidental repointing of a pinned ref should be loud)."""
+        v = self.current_version() if version is None else int(version)
+        self.manifest(v)  # raises if expired / nonexistent
+        t = self.tags()
+        if name in t:
+            raise ValueError(
+                f"tag {name!r} already points at v{t[name]}; drop_tag first"
+            )
+        t[name] = v
+        _atomic_write_json(os.path.join(self.root, "_tags.json"), t)
+        return v
+
+    def drop_tag(self, name: str) -> int:
+        t = self.tags()
+        if name not in t:
+            raise ValueError(f"no such tag: {name!r}")
+        v = t.pop(name)
+        _atomic_write_json(os.path.join(self.root, "_tags.json"), t)
+        return v
+
+    def tag_version(self, name: str) -> int:
+        t = self.tags()
+        if name not in t:
+            raise ValueError(f"no such tag: {name!r} (have: {sorted(t)})")
+        return t[name]
+
     def expire_snapshots(self, keep_last: int = 10) -> int:
         """Expire snapshots older than the newest ``keep_last`` (Iceberg
         maintenance parity): their manifest JSONs are deleted and the
@@ -198,12 +241,20 @@ class LakeTable:
         ``vacuum()`` reclaim data files referenced only by expired
         snapshots. At 10^10-event scale this is what keeps metadata and
         storage O(retained history) instead of O(all history).
+        Tags retain: the marker never advances past the oldest tagged
+        version (Iceberg ref-retention semantics), keeping the retained
+        range contiguous — a long-lived tag therefore holds history; the
+        stats CLI surfaces tag pins so the cost is visible.
         Driver-side metadata-only; returns the number expired."""
         if keep_last < 1:
             raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         cur = self.current_version()
         prev_oldest = self.oldest_version()
         new_oldest = max(prev_oldest, cur - keep_last + 1)
+        tagged = self.tags()
+        if tagged:
+            new_oldest = min(new_oldest, min(tagged.values()))
+            new_oldest = max(new_oldest, prev_oldest)
         # advance the marker FIRST: readers then exclude the expiring
         # versions before any manifest disappears, so a crash mid-expire
         # leaves only unreferenced manifest files (re-expire cleans them)
@@ -331,11 +382,17 @@ class LakeTable:
         spark: SparkSession,
         version: int | None = None,
         registry: "Any | None" = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Live rows (tombstones filtered). If a ``SchemaRegistry`` is
         given, read-time defaults + renames for the registry version
         effective at the snapshot watermark are applied (metadata-only
-        evolution, Iceberg-style)."""
+        evolution, Iceberg-style). ``tag`` reads the snapshot a named
+        ref pins (``create_tag``); mutually exclusive with ``version``."""
+        if tag is not None:
+            if version is not None:
+                raise ValueError("pass version OR tag, not both")
+            version = self.tag_version(tag)
         df = (
             self.read_raw(spark, version=version, with_bucket=False)
             .filter(~F.col("_deleted"))

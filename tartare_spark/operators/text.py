@@ -40,6 +40,50 @@ def bpe_ish_token_count(col: Column) -> Column:
     return (chars + F.lit(3)) / F.lit(4)
 
 
+# GPT-2-style tokenizer categories, restricted to a regex dialect that
+# Java (Spark codegen) and RE2 (DuckDB oracle) interpret identically:
+# a leading-space word run, digit run, punctuation run, or space run.
+# Real BPE merges within these pieces; counting the pieces themselves is
+# the standard pre-tokenization granularity.
+BPE_SPLIT = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+
+def regex_token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token stats from a GPT-2-style regex
+    pre-tokenization of the normalized text: total pieces, alphabetic
+    pieces, numeric pieces, and total characters covered. All JVM-side
+    (regexp_extract_all + higher-order array ops, zero shuffle); the
+    token array is materialized in its own projection because codegen
+    re-evaluates non-materialized expressions once per reference
+    [SURVEY §2 F-row notes]."""
+    norm = docs.select(
+        F.col(id_col),
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ").alias(
+            "_norm"
+        ),
+    )
+    toks = norm.select(
+        F.col(id_col),
+        F.regexp_extract_all("_norm", F.lit(BPE_SPLIT), 0).alias("_tk"),
+    )
+    tk = F.col("_tk")
+    return toks.select(
+        F.col(id_col),
+        F.size(tk).cast("long").alias("n_pieces"),
+        F.size(F.filter(tk, lambda t: t.rlike("^ ?[a-z]+$")))
+        .cast("long")
+        .alias("n_alpha"),
+        F.size(F.filter(tk, lambda t: t.rlike("^ ?[0-9]+$")))
+        .cast("long")
+        .alias("n_num"),
+        F.aggregate(
+            tk, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("n_chars"),
+    )
+
+
 def stopword_ratio(col: Column) -> Column:
     toks = tokens(F.lower(col))
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])

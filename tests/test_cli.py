@@ -72,6 +72,22 @@ def test_cli_end_to_end(spark, unit_events_dir, tmp_path, capsys):
     mets = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
     assert rc == 0 and len(mets) >= 1 and "batch_id" in mets[0]
 
+    # tag create → list → snapshot-by-tag → drop
+    cur = LakeTable(lake_dir).current_version()
+    rc = main(["tag", "--lake", lake_dir, "--name", "release"])
+    tg = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and tg == {"tag": "release", "version": cur}
+    rc = main(["tag", "--lake", lake_dir])
+    assert rc == 0 and json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    ) == {"release": cur}
+    rc = main(["snapshot", "--lake", lake_dir, "--tag", "release", "--limit", "2"])
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    assert rc == 0 and len(lines) == 2
+    rc = main(["tag", "--lake", lake_dir, "--name", "release", "--drop"])
+    dr = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and dr["was_version"] == cur
+
     # errors are one-line + exit 1, not tracebacks
     rc = main(["metrics", "--lake", str(tmp_path / "missing")])
     assert rc == 1

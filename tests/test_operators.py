@@ -1007,3 +1007,62 @@ def test_envelope_replay_matches_direct_replay(spark, unit_events_dir, tmp_path)
     b = via_env.snapshot(spark).drop("_ts")
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
+    """At the 100 TB design point a selective dim-side filter should
+    reach the fact scan as a Catalyst RUNTIME bloom filter (semi-join
+    reduction) — the fact side drops non-matching rows before the
+    shuffle instead of shuffling 100 TB to the join. The engine leans on
+    the built-in rule rather than hand-rolling one: this pins that the
+    rule fires on our join shape once the (size-based) thresholds are
+    met, which local-sf data never meets naturally — so the thresholds
+    are lowered here, exactly as the 100 TB plan meets them for real."""
+    import io
+    from contextlib import redirect_stdout
+
+    # the rule only fires on real scans (it sizes the application side),
+    # so both sides go through parquet — LocalRelations are never filtered
+    rows = [(i, i % 97, f"p{i % 13}") for i in range(20_000)]
+    spark.createDataFrame(rows, "k LONG, dim_id LONG, payload STRING").write.parquet(
+        str(tmp_path / "fact")
+    )
+    spark.createDataFrame(
+        [(i, "hot" if i < 3 else "cold") for i in range(97)],
+        "dim_id LONG, temp STRING",
+    ).write.parquet(str(tmp_path / "dim"))
+    fact = spark.read.parquet(str(tmp_path / "fact"))
+    dim = spark.read.parquet(str(tmp_path / "dim"))
+
+    def run(with_bloom: bool):
+        confs = {
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        saved = {k: spark.conf.get(k) for k in confs}
+        try:
+            if with_bloom:
+                for k, v in confs.items():
+                    spark.conf.set(k, v)
+            j = (
+                fact.join(
+                    dim.filter(F.col("temp") == "hot"), "dim_id"
+                )
+                .groupBy("temp")
+                .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+            )
+            out = {tuple(r) for r in j.collect()}
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                j.explain("formatted")
+            return out, buf.getvalue()
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+
+    plain_rows, plain_plan = run(with_bloom=False)
+    bloom_rows, bloom_plan = run(with_bloom=True)
+    assert "might_contain" not in plain_plan
+    assert "might_contain" in bloom_plan and "bloom_filter_agg" in bloom_plan
+    assert bloom_rows == plain_rows and bloom_rows

@@ -795,3 +795,45 @@ def test_vacuum_drains_inflight_fold(spark, unit_events, tmp_path):
     assert lake.manifest()["stats"].get("compaction")
     # the folded table still resolves fully (files all present)
     assert_state_equals_referee(spark, lake)
+
+
+def test_tags_pin_and_retain_snapshots(spark, unit_events, tmp_path):
+    """Named tags (Iceberg ref parity): a tag pins a version for reads,
+    RETAINS it through expire_snapshots, and protects its files from
+    vacuum until dropped."""
+    lake = LakeTable.create(str(tmp_path / "lake_tags"), num_buckets=8, mode="cow")
+    replay_batches(spark, lake, unit_events, num_chunks=4)
+    cur = lake.current_version()
+    pinned = cur - 2
+    pinned_rows = {tuple(r) for r in lake.snapshot(spark, version=pinned).collect()}
+
+    assert lake.create_tag("release", version=pinned) == pinned
+    assert lake.tags() == {"release": pinned}
+    with pytest.raises(ValueError, match="already points"):
+        lake.create_tag("release", version=cur)
+
+    got = {tuple(r) for r in lake.snapshot(spark, tag="release").collect()}
+    assert got == pinned_rows
+    with pytest.raises(ValueError, match="version OR tag"):
+        lake.snapshot(spark, version=cur, tag="release")
+
+    # expiration halts at the oldest tag; the tagged read stays exact
+    # even after vacuum (its files are still referenced = protected)
+    lake.expire_snapshots(keep_last=1)
+    assert lake.oldest_version() == pinned
+    lake.vacuum()
+    assert {tuple(r) for r in lake.snapshot(spark, tag="release").collect()} == pinned_rows
+    with pytest.raises(ValueError, match="expired"):
+        lake.snapshot(spark, version=pinned - 1)
+
+    # dropping the tag releases retention: expire + vacuum reclaim
+    assert lake.drop_tag("release") == pinned
+    with pytest.raises(ValueError, match="no such tag"):
+        lake.drop_tag("release")
+    lake.expire_snapshots(keep_last=1)
+    assert lake.oldest_version() == cur
+    with pytest.raises(ValueError, match="expired"):
+        lake.snapshot(spark, version=pinned)
+    # tagging an expired version is a loud error
+    with pytest.raises(ValueError, match="expired"):
+        lake.create_tag("too-old", version=pinned)
