@@ -1118,8 +1118,10 @@ def dd1_exact_dedup(spark, sf_dir):
     return exact_dedup_groups(T(spark, sf_dir, "documents"))
 
 
-def _minhash_sql() -> str:
-    # same pinned affine family as operators/dedup_docs.py — bit parity
+def _minhash_bands_sql(where: str) -> str:
+    # same pinned affine family as operators/dedup_docs.py — bit parity;
+    # parameterized on the docs filter so both the self-join (dd2) and
+    # the incremental corpus-vs-batch join (dd8) share the CTE chain
     from tartare_spark.operators.dedup_docs import (
         MINHASH_A,
         MINHASH_B,
@@ -1133,7 +1135,7 @@ def _minhash_sql() -> str:
     return f"""
 WITH docs AS (
   SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
-  FROM documents WHERE doc_id % 5 = 0
+  FROM documents WHERE {where}
 ), toks AS (
   SELECT doc_id, norm, regexp_split_to_array(norm, ' ') AS t FROM docs
 ), sh AS (
@@ -1156,13 +1158,14 @@ WITH docs AS (
   SELECT doc_id, b, CAST(sig[b+1] AS VARCHAR) AS bkey
   FROM sig, (SELECT unnest(generate_series(0, 11)) AS b)
 )
+"""
+
+
+_MINHASH_SQL = _minhash_bands_sql("doc_id % 5 = 0") + """
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
   ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 """
-
-
-_MINHASH_SQL = _minhash_sql()
 
 
 @demo("dd2_minhash_lsh", _MINHASH_SQL)
@@ -1171,6 +1174,37 @@ def dd2_minhash_lsh(spark, sf_dir):
 
     docs = T(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     return lsh_candidates(docs, k=12, bands=12, shingle_n=3)
+
+
+_DD8_SQL = _minhash_bands_sql("doc_id % 10 = 0 OR doc_id % 10 = 5") + """
+SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS idx_id
+FROM bands n JOIN bands c
+  ON n.b = c.b AND n.bkey = c.bkey
+WHERE n.doc_id % 10 = 5 AND c.doc_id % 10 = 0
+"""
+
+
+@demo("dd8_incremental_dedup", _DD8_SQL)
+def dd8_incremental_dedup(spark, sf_dir):
+    """Incremental dedup, the shape a continuously-ingesting pipeline
+    runs: the corpus's MinHash band rows are persisted ONCE
+    (build_minhash_index); each arriving batch hashes only itself and
+    equi-joins the index — per-ingest cost O(batch), never O(corpus).
+    Same hash family as dd2, so the oracle derives both sides'
+    signatures and joins them."""
+    import tempfile
+
+    from tartare_spark.operators.dedup_docs import (
+        build_minhash_index,
+        query_minhash_index,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 == 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 5)
+    idx = tempfile.mkdtemp(prefix="tartare_mh_idx_")
+    build_minhash_index(corpus, idx, k=12, bands=12, shingle_n=3)
+    return query_minhash_index(spark, idx, batch)
 
 
 _SIMHASH_SQL = """

@@ -147,21 +147,14 @@ def minhash_signature(docs: DataFrame, id_col: str, text_col: str, k: int = 12, 
     )
 
 
-def lsh_candidates(
-    docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    k: int = 12,
-    bands: int = 4,
-    shingle_n: int = 3,
+def _band_rows(
+    sig: DataFrame, id_col: str, k: int, bands: int
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded LSH: docs sharing ANY
-    band of the minhash signature. Returns (id_a, id_b) with id_a < id_b,
-    distinct. rows/band = k // bands."""
-    assert k % bands == 0, f"k={k} must divide evenly into bands={bands}"
-    sig = minhash_signature(docs, id_col, text_col, k, shingle_n)
+    """(id, band, bkey) rows from a minhash signature frame: the banded
+    LSH bucketing shared by the self-join (:func:`lsh_candidates`) and
+    the persisted incremental index (:func:`build_minhash_index`)."""
     r = k // bands
-    band_rows = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -177,6 +170,22 @@ def lsh_candidates(
             )
         ).alias("bb"),
     ).select(F.col(id_col), F.col("bb.band"), F.col("bb.bkey"))
+
+
+def lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH: docs sharing ANY
+    band of the minhash signature. Returns (id_a, id_b) with id_a < id_b,
+    distinct. rows/band = k // bands."""
+    assert k % bands == 0, f"k={k} must divide evenly into bands={bands}"
+    sig = minhash_signature(docs, id_col, text_col, k, shingle_n)
+    band_rows = _band_rows(sig, id_col, k, bands)
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     pairs = (
@@ -192,6 +201,94 @@ def lsh_candidates(
         .distinct()
     )
     return pairs
+
+
+def build_minhash_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 12,
+    bands: int = 12,
+    shingle_n: int = 3,
+) -> None:
+    """One-time persisted MinHash band index over a corpus — the
+    incremental-dedup shape a training pipeline actually runs at 100 TB:
+    the existing corpus is shingled/hashed ONCE and its band rows land
+    under ``path/bands/band=<b>/`` (parquet, partitioned by band); each
+    arriving batch then hashes only ITSELF and equi-joins the index
+    (:func:`query_minhash_index`) instead of re-running LSH over
+    corpus ∪ batch per ingest. Hash-family parameters and the schema go
+    in ``path/meta.json`` so queries hash identically and read with an
+    explicit schema (no footer sampling — same discipline as the
+    sign-LSH/IVF indexes in operators/similarity.py)."""
+    assert k % bands == 0, f"k={k} must divide evenly into bands={bands}"
+    import json as _json
+    import os as _os
+
+    sig = minhash_signature(docs, id_col, text_col, k, shingle_n)
+    br = _band_rows(sig, id_col, k, bands)
+    br.write.partitionBy("band").mode("overwrite").parquet(f"{path}/bands")
+    _os.makedirs(path, exist_ok=True)
+    with open(f"{path}/meta.json", "w") as f:
+        _json.dump(
+            {
+                "id_col": id_col,
+                "k": k,
+                "bands": bands,
+                "shingle_n": shingle_n,
+                "schema": br.schema.jsonValue(),
+            },
+            f,
+        )
+
+
+def query_minhash_index(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_bands: list[int] | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs (``new_id``, ``idx_id``) between a new
+    batch and the persisted corpus index: the batch is hashed with the
+    SAVED parameters and its band rows equi-join the index on
+    (band, bkey) — per-ingest cost is O(batch), never O(corpus).
+    ``probe_bands`` restricts the join to a subset of bands: the index
+    scan partition-prunes to those ``band=`` directories (a cheaper,
+    lower-recall probe — recall falls from 1-(1-s^r)^bands to the same
+    expression over |probe_bands|)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    with open(f"{path}/meta.json") as f:
+        meta = _json.load(f)
+    idx_id = meta["id_col"]
+    idx = spark.read.schema(
+        StructType.fromJson(meta["schema"])
+    ).parquet(f"{path}/bands")
+    sig = minhash_signature(
+        new_docs, id_col, text_col, meta["k"], meta["shingle_n"]
+    )
+    nb = _band_rows(sig, id_col, meta["k"], meta["bands"])
+    if probe_bands is not None:
+        idx = idx.filter(F.col("band").isin(list(probe_bands)))
+        nb = nb.filter(F.col("band").isin(list(probe_bands)))
+    n, c = nb.alias("n"), idx.alias("c")
+    return (
+        n.join(
+            c,
+            (F.col("n.band") == F.col("c.band"))
+            & (F.col("n.bkey") == F.col("c.bkey")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"c.{idx_id}").alias("idx_id"),
+        )
+        .distinct()
+    )
 
 
 def jaccard_pairs(

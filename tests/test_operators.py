@@ -1066,3 +1066,99 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, tmp_path):
     assert "might_contain" not in plain_plan
     assert "might_contain" in bloom_plan and "bloom_filter_agg" in bloom_plan
     assert bloom_rows == plain_rows and bloom_rows
+
+
+def test_minhash_index_equals_inline_cross_pairs(spark, tmp_path):
+    """query_minhash_index(batch, index(corpus)) must return exactly the
+    corpus×batch slice of the inline LSH self-join over corpus ∪ batch —
+    the persisted index changes the cost shape (hash only the batch per
+    ingest), never the candidates."""
+    from tartare_spark.operators.dedup_docs import (
+        build_minhash_index,
+        lsh_candidates,
+        query_minhash_index,
+    )
+
+    docs = _docs(spark)
+    corpus = docs.filter(F.col("doc_id") % 10 == 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 5)
+    idx = str(tmp_path / "mh_idx")
+    build_minhash_index(corpus, idx, k=12, bands=12, shingle_n=3)
+    got = {
+        (r["new_id"], r["idx_id"])
+        for r in query_minhash_index(spark, idx, batch).collect()
+    }
+
+    inline = lsh_candidates(
+        corpus.unionByName(batch), k=12, bands=12, shingle_n=3
+    ).collect()
+    # keep only cross pairs, reorient to (batch-side, corpus-side)
+    want = set()
+    for r in inline:
+        a, b = r["id_a"], r["id_b"]
+        if a % 10 == 5 and b % 10 == 0:
+            want.add((a, b))
+        elif a % 10 == 0 and b % 10 == 5:
+            want.add((b, a))
+    assert got == want and got, f"{len(got)} vs {len(want)} pairs"
+
+    # an exact duplicate of a corpus doc in a later batch must be caught
+    dup_src = corpus.orderBy("doc_id").limit(1)
+    dup = dup_src.select(
+        F.lit(99995).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    first_id = dup_src.collect()[0]["doc_id"]
+    got2 = {
+        (r["new_id"], r["idx_id"])
+        for r in query_minhash_index(spark, idx, dup).collect()
+    }
+    assert (99995, first_id) in got2
+
+
+def test_minhash_index_probe_bands_partition_pruned(spark, tmp_path):
+    """probe_bands must reach the index scan as partition pruning:
+    corrupt every NON-probed band=<b> partition — a probe restricted to
+    the healthy bands still answers, and equals the full query's pairs
+    restricted to those bands on the batch side too."""
+    import os
+
+    from tartare_spark.operators.dedup_docs import (
+        build_minhash_index,
+        query_minhash_index,
+    )
+
+    docs = _docs(spark)
+    corpus = docs.filter(F.col("doc_id") % 10 == 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 5)
+    idx = str(tmp_path / "mh_idx_prune")
+    build_minhash_index(corpus, idx, k=12, bands=12, shingle_n=3)
+
+    probed = [0, 1, 2]
+    want = {
+        (r["new_id"], r["idx_id"])
+        for r in query_minhash_index(
+            spark, idx, batch, probe_bands=probed
+        ).collect()
+    }
+    assert want, "probed bands must yield candidates on this corpus"
+
+    for b in range(12):
+        if b in probed:
+            continue
+        d = os.path.join(idx, "bands", f"band={b}")
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                with open(os.path.join(d, f), "wb") as fh:
+                    fh.write(b"not parquet")
+    got = {
+        (r["new_id"], r["idx_id"])
+        for r in query_minhash_index(
+            spark, idx, batch, probe_bands=probed
+        ).collect()
+    }
+    assert got == want
+    # and the full (unrestricted) query now fails — corruption is real
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        query_minhash_index(spark, idx, batch).collect()
