@@ -47,6 +47,8 @@ def run_stream(
     fence_order_check: bool = True,
     envelope: bool = False,
     compact_async: bool = False,
+    mv_path: str | None = None,
+    mv_group_col: str = "repo",
 ):
     """Tail ``events_dir`` (parquet file stream) into ``lake``.
 
@@ -76,6 +78,18 @@ def run_stream(
     tails (redelivery-only duplication), with ``fence_lateness`` LSN
     slack for sources with bounded reordering. Measured break-even vs
     the state-store fence is documented in BENCH/BASELINE.md.
+
+    ``mv_path`` keeps a materialized aggregate (operators/mv.py)
+    current INSIDE the stream: after each committed micro-batch the MV
+    is refreshed from that commit's change feed (dirty-group recompute,
+    O(changed slice)). Bootstrap is automatic (full build on first
+    trigger). The composition inherits the commit path's exactly-once
+    properties: a redelivered batch is skipped by apply_batch, leaves
+    the lake version unchanged, and the refresh no-ops (from == to); a
+    crash BETWEEN apply and refresh is healed on the next trigger —
+    the feed read spans every commit since the MV's recorded version,
+    so refreshes coalesce rather than drop. Refresh ≡ full rebuild for
+    any groupBy agg (tested in tests/test_streaming.py).
     """
     reader = spark.readStream
     if not envelope:
@@ -106,6 +120,17 @@ def run_stream(
             # below after termination
             compact_async=compact_async,
         )
+        if mv_path is not None:
+            from tartare_spark.operators.mv import (
+                _meta_path,
+                build_mv,
+                refresh_mv,
+            )
+
+            if os.path.exists(_meta_path(mv_path)):
+                refresh_mv(spark, lake, mv_path, group_col=mv_group_col)
+            else:
+                build_mv(spark, lake, mv_path, group_col=mv_group_col)
 
     # unique per-run query name: the progress listener filters on it,
     # which closes the start()-returns-after-first-event race an

@@ -1162,3 +1162,59 @@ def test_minhash_index_probe_bands_partition_pruned(spark, tmp_path):
 
     with _pytest.raises(Exception):
         query_minhash_index(spark, idx, batch).collect()
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
+    """The optimizer-native answer to skewed join keys (complementing
+    the explicit salting of A3): with AQE skew-join on, a hot key's
+    oversized shuffle partition is split at runtime — the final
+    adaptive plan marks the join skew=true — with results identical to
+    the unsplit plan. Thresholds are lowered to make local-sf data
+    qualify, exactly as 100 TB partitions qualify naturally."""
+    import io
+    from contextlib import redirect_stdout
+
+    # one pathological key carrying ~95% of rows
+    rows = [(0 if i % 20 else i % 97, i) for i in range(200_000)]
+    spark.createDataFrame(rows, "k LONG, v LONG").write.parquet(
+        str(tmp_path / "skewed")
+    )
+    spark.createDataFrame(
+        [(i, f"d{i}") for i in range(97)], "k LONG, tag STRING"
+    ).write.parquet(str(tmp_path / "dim"))
+    fact = spark.read.parquet(str(tmp_path / "skewed"))
+    dim = spark.read.parquet(str(tmp_path / "dim"))
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = fact.join(dim, "k").groupBy("tag").agg(
+            F.count("*").alias("n"), F.sum("v").alias("sum_v")
+        )
+        got = {tuple(r) for r in j.collect()}
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain()
+        plan = buf.getvalue()
+        assert "skew=true" in plan, plan[-2000:]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+    plain = {
+        tuple(r)
+        for r in fact.join(dim, "k")
+        .groupBy("tag")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert got == plain and got

@@ -409,3 +409,42 @@ def test_streaming_async_compaction(spark, unit_events_dir, tmp_path, expected):
         m.get("maintenance") and m.get("async") for m in lake.metrics()
     )
     _assert_matches(spark, lake, reg, expected)
+
+
+def test_streaming_mv_auto_refresh(spark, unit_events_dir, tmp_path, expected):
+    """mv_path keeps the materialized aggregate current inside the
+    stream: after a multi-trigger replay the MV equals a full rebuild
+    over the final snapshot, and a redelivered (fresh-checkpoint)
+    replay leaves both the lake AND the MV unchanged."""
+    from tartare_spark.operators.mv import group_file_stats, read_mv
+
+    lake = LakeTable.create(str(tmp_path / "lake_mv"), num_buckets=16)
+    reg = SchemaRegistry(registry_rows(UNIT))
+    mv = str(tmp_path / "mv")
+    run_stream(
+        spark, unit_events_dir, lake, str(tmp_path / "ckpt_mv"),
+        registry=reg, max_files_per_trigger=7, mv_path=mv,
+    )
+    assert lake.current_version() >= 2  # refreshes happened per trigger
+    _assert_matches(spark, lake, reg, expected)
+
+    def mv_rows():
+        return {tuple(r) for r in read_mv(spark, mv).collect()}
+
+    want = {
+        tuple(r)
+        for r in group_file_stats(lake.snapshot(spark), "repo").collect()
+    }
+    got = mv_rows()
+    assert got == want and got
+
+    # idempotent redelivery: a fresh checkpoint replays every batch;
+    # apply_batch skips them all, the lake version never moves, and the
+    # MV refresh no-ops (from == to) each trigger
+    v = lake.current_version()
+    run_stream(
+        spark, unit_events_dir, lake, str(tmp_path / "ckpt_mv2"),
+        registry=reg, max_files_per_trigger=7, mv_path=mv,
+    )
+    assert lake.current_version() == v
+    assert mv_rows() == want
