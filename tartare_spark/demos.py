@@ -2005,6 +2005,108 @@ def tx8_regex_tokens(spark, sf_dir):
     return regex_token_stats(T(spark, sf_dir, "documents"))
 
 
+# mirror of sampling.hash_u / hash_shard: first 8 md5 hex digits of
+# "{salt}{seed}|{id}" — the same generator tx7's oracle already proves
+# portable (Spark conv(hex,16,10) == DuckDB CAST('0x'||hex AS BIGINT))
+_SMP_U = (
+    "CAST(('0x' || substr(md5('smp42|' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT) / 4294967296.0"
+)
+_SMP_SHARD = (
+    "CAST(CAST(('0x' || substr(md5('shard42|' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT) % 4 AS INT)"
+)
+
+
+@demo(
+    "tx9_stratified_sample",
+    f"""
+    WITH u AS (
+      SELECT doc_id, lang, {_SMP_U} AS u FROM documents
+    )
+    SELECT doc_id, lang FROM u
+    WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.05 END
+    """,
+)
+def tx9_stratified_sample(spark, sf_dir):
+    """Corpus rebalancing as a deterministic per-stratum filter: keep
+    50% of English, 25% of German, 5% of everything else — the draw is
+    a pure function of (seed, doc_id), so the sample is identical on
+    any engine/partitioning. Zero shuffle; the predicate is codegen'd
+    and scan-adjacent like any other filter."""
+    from tartare_spark.operators.sampling import stratified_sample
+
+    docs = T(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "de": 0.25}, default_rate=0.05
+    ).select("doc_id", "lang")
+
+
+@demo(
+    "tx10_quota_cap",
+    f"""
+    WITH u AS (
+      SELECT doc_id, lang, {_SMP_U} AS u FROM documents
+    )
+    SELECT doc_id, lang FROM u
+    QUALIFY row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) <= 30
+    """,
+)
+def tx10_quota_cap(spark, sf_dir):
+    """Per-domain quota: at most 30 documents per language, chosen by
+    deterministic hash order. Plans as a WindowGroupLimit — each map
+    partition trims to its local top-30 BEFORE the shuffle, so a
+    10^9-row hot domain ships O(cap) rows per input split, not the
+    corpus (plan pinned in tests/test_operators.py)."""
+    from tartare_spark.operators.sampling import quota_cap
+
+    docs = T(spark, sf_dir, "documents")
+    return quota_cap(docs, "doc_id", "lang", cap=30).select("doc_id", "lang")
+
+
+@demo(
+    "tx11_pack_sequences",
+    # weight = whitespace token count (the proven _TOKS mirror),
+    # clamped to ≥1; offsets/seq ids in exact integer arithmetic (//)
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(greatest(len({_TOKS}), 1) AS BIGINT) AS wgt,
+             {_SMP_SHARD} AS shard
+      FROM documents
+    ), o AS (
+      SELECT doc_id, shard, wgt,
+             SUM(wgt) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS off_end
+      FROM w
+    )
+    SELECT doc_id, shard,
+           CAST(off_end - wgt AS BIGINT) AS off_begin,
+           wgt AS weight,
+           CAST((off_end - wgt) // 256 AS BIGINT) AS seq_first,
+           CAST((off_end - 1) // 256 AS BIGINT) AS seq_last,
+           CAST((off_end - 1) // 256 - (off_end - wgt) // 256 + 1 AS BIGINT)
+             AS n_seqs
+    FROM o
+    """,
+)
+def tx11_pack_sequences(spark, sf_dir):
+    """Sequence packing: concatenate documents (deterministic id order
+    within 4 hash shards) into 256-token training sequences and report
+    which sequences each document spans. One shuffle on the shard id;
+    shards pack independently — the parallel unit at 100 TB is
+    num_shards ≈ cluster cores, never a global prefix sum."""
+    from tartare_spark.operators.sampling import pack_sequences
+    from tartare_spark.operators.text import token_count
+
+    docs = T(spark, sf_dir, "documents")
+    weight = F.greatest(token_count(F.col("text")), F.lit(1))
+    return pack_sequences(
+        docs, "doc_id", weight, capacity=256, num_shards=4
+    )
+
+
 @demo(
     "a5b_approx_quantiles",
     # like a4b: the t-digest sketch differs across engines, so the

@@ -1218,3 +1218,106 @@ def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
         .collect()
     }
     assert got == plain and got
+
+
+# ----------------------------------------------------------------------
+# Corpus composition (operators/sampling.py — tx9/tx10/tx11)
+# ----------------------------------------------------------------------
+def test_stratified_sample_partitioning_invariant(spark):
+    """The kept set is a pure function of (seed, id, stratum): identical
+    under any physical partitioning/ordering, rates are honored per
+    stratum, and unknown strata fall to default_rate (0 = dropped)."""
+    from tartare_spark.operators.sampling import stratified_sample
+
+    docs = _docs(spark)
+    rates = {"en": 0.5, "de": 0.25}
+    a = {r["doc_id"] for r in
+         stratified_sample(docs, "doc_id", "lang", rates).collect()}
+    b = {r["doc_id"] for r in
+         stratified_sample(docs.repartition(17, "lang"), "doc_id", "lang",
+                           rates).collect()}
+    c = {r["doc_id"] for r in
+         stratified_sample(docs.orderBy(F.desc("doc_id")), "doc_id", "lang",
+                           rates).collect()}
+    assert a == b == c and a
+    # default_rate=0 drops every stratum without a rate
+    langs = {r["lang"] for r in
+             stratified_sample(docs, "doc_id", "lang", rates)
+             .select("lang").distinct().collect()}
+    assert langs <= {"en", "de"}
+    # per-stratum shares ~ rate (n_en = 218, n_de = 70 at sf0.01)
+    kept = stratified_sample(docs, "doc_id", "lang", rates)
+    n_en = kept.filter("lang = 'en'").count()
+    tot_en = docs.filter("lang = 'en'").count()
+    assert 0.35 * tot_en <= n_en <= 0.65 * tot_en
+
+
+def test_quota_cap_deterministic_and_map_side_trimmed(spark):
+    """Quota semantics: ≤ cap rows per stratum, same winners under any
+    input ordering. Scale invariant: the row_number filter plans as a
+    WindowGroupLimit (Partial before the exchange), so each map
+    partition trims to its local top-cap before any shuffle."""
+    from tartare_spark.operators.sampling import quota_cap
+
+    docs = _docs(spark)
+    capped = quota_cap(docs, "doc_id", "lang", cap=10)
+    per = {r["lang"]: r["n"] for r in
+           capped.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per and all(n <= 10 for n in per.values())
+    assert per["en"] == 10  # en has 218 docs — the cap binds
+    a = {r["doc_id"] for r in capped.collect()}
+    b = {r["doc_id"] for r in
+         quota_cap(docs.orderBy(F.desc("n_chars")), "doc_id", "lang",
+                   cap=10).collect()}
+    assert a == b
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan
+
+
+def test_pack_sequences_invariants_and_single_shuffle(spark):
+    """Per shard: offsets tile exactly (each doc begins where the
+    previous ended), sequence ids are the exact integer quotients, and
+    the whole packing is ONE exchange (on the shard id)."""
+    from tartare_spark.operators.sampling import pack_sequences
+    from tartare_spark.operators.text import token_count
+
+    docs = _docs(spark)
+    w = F.greatest(token_count(F.col("text")), F.lit(1))
+    packed = pack_sequences(docs, "doc_id", w, capacity=128, num_shards=4)
+    rows = packed.orderBy("shard", "doc_id").collect()
+    assert rows and {r["shard"] for r in rows} == {0, 1, 2, 3}
+    nxt = {}
+    for r in rows:  # rows are ordered by (shard, doc_id)
+        assert r["off_begin"] == nxt.get(r["shard"], 0)
+        nxt[r["shard"]] = r["off_begin"] + r["weight"]
+        assert r["seq_first"] == r["off_begin"] // 128
+        assert r["seq_last"] == (r["off_begin"] + r["weight"] - 1) // 128
+        assert r["n_seqs"] == r["seq_last"] - r["seq_first"] + 1 >= 1
+    plan = packed._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_pack_sequences_exact_past_double_precision(spark):
+    """Offsets beyond 2^53 stay exact: seq ids use integer DIV, never
+    double division (the ranges.py lesson). A weight stream whose
+    cumulative sum crosses 2^53+epsilon must match Python int math."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from tartare_spark.operators.sampling import pack_sequences
+
+    base = (1 << 53) + 1
+    data = [(i, base if i == 0 else 1000 + i) for i in range(6)]
+    df = spark.createDataFrame(
+        data,
+        StructType([StructField("id", LongType()), StructField("w", LongType())]),
+    )
+    got = {
+        r["id"]: (r["off_begin"], r["seq_first"], r["seq_last"])
+        for r in pack_sequences(df, "id", "w", capacity=997,
+                                num_shards=1).collect()
+    }
+    off = 0
+    for i, w in data:
+        assert got[i] == (off, off // 997, (off + w - 1) // 997), (i, got[i])
+        off += w
