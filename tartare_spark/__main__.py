@@ -252,6 +252,22 @@ def cmd_tag(args) -> int:
     return 0
 
 
+def cmd_branch(args) -> int:
+    lake = _lake(args)
+    if args.action == "create":
+        lake.create_branch(args.name, version=args.version)
+        print(json.dumps({"branch": args.name, **lake.branches()[args.name]}))
+    elif args.action == "drop":
+        lake.drop_branch(args.name)
+        print(json.dumps({"dropped": args.name}))
+    elif args.action == "fast-forward":
+        v = lake.fast_forward(args.name)
+        print(json.dumps({"fast_forwarded": args.name, "main_version": v}))
+    else:
+        print(json.dumps(lake.branches()))
+    return 0
+
+
 def cmd_metrics(args) -> int:
     lake = _lake(args)
     # [-0:] would mean "everything"; tail<=0 means "nothing"
@@ -363,6 +379,17 @@ def build_parser() -> argparse.ArgumentParser:
     h = sub.add_parser("history", help="commit history (version, batch, wall-clock stamp, stats)")
     h.add_argument("--lake", required=True)
     h.set_defaults(fn=cmd_history)
+
+    bp = sub.add_parser(
+        "branch",
+        help="writable refs (write-audit-publish): create / list / "
+        "fast-forward / drop",
+    )
+    bp.add_argument("action", choices=["create", "list", "fast-forward", "drop"])
+    bp.add_argument("--lake", required=True)
+    bp.add_argument("--name", default=None)
+    bp.add_argument("--version", type=int, default=None)
+    bp.set_defaults(fn=cmd_branch)
 
     mv = sub.add_parser(
         "mv", help="materialized view: build / incremental refresh / read (S10)"

@@ -145,6 +145,39 @@ def s9_stats_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("repo", "path", "commit", "content", "_lsn", "_content_sha")
 
 
+@demo("s12_branch_wap", _CDC_SQL)
+def s12_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish through a lake branch (Iceberg writable-ref
+    parity): the first half of the log lands on main, the second half
+    is staged on a branch (metadata fork — zero data copied), audited,
+    then fast-forwarded onto main atomically. The published state must
+    equal a straight replay of the whole log — which is exactly the
+    flagship oracle."""
+    import shutil
+
+    from tartare_spark.lake.table import LakeTable
+    from tartare_spark.operators.apply import replay_batches
+
+    ch = _events_as_changelog(spark, sf_dir)
+    root = os.path.join(tempfile.gettempdir(), f"tartare_demo_wap_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    lake = LakeTable.create(os.path.join(root, "lake"), num_buckets=16)
+    bounds = ch.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).collect()[0]
+    mid = (int(bounds["lo"]) + int(bounds["hi"])) // 2
+    replay_batches(spark, lake, ch.filter(F.col("lsn") <= mid), num_chunks=2)
+    br = lake.create_branch("audit")
+    replay_batches(
+        spark, br, ch.filter(F.col("lsn") > mid), num_chunks=2, start_batch_id=2
+    )
+    # audit gate: staged state passes a sanity check before publishing
+    assert br.snapshot(spark).count() > 0
+    lake.fast_forward("audit")
+    lake.drop_branch("audit")
+    return lake.snapshot(spark).select(
+        "repo", "path", "commit", "content", "_lsn", "_content_sha"
+    )
+
+
 # ======================================================================
 # 2.1 scans / sources / sinks
 # ======================================================================

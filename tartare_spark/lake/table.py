@@ -234,6 +234,163 @@ class LakeTable:
             raise ValueError(f"no such tag: {name!r} (have: {sorted(t)})")
         return t[name]
 
+    # ------------------------------------------------------------------
+    # branches (Iceberg writable-ref parity: write-audit-publish)
+    # ------------------------------------------------------------------
+    def _branch_root(self, name: str) -> str:
+        if not name or not all(c.isalnum() or c in "._-" for c in name):
+            raise ValueError(f"invalid branch name: {name!r}")
+        return os.path.join(self.root, "_branches", name)
+
+    def branches(self) -> dict[str, dict]:
+        """Live branches → ``{fork_version, current_version}``."""
+        bdir = os.path.join(self.root, "_branches")
+        out: dict[str, dict] = {}
+        if not os.path.isdir(bdir):
+            return out
+        for e in os.scandir(bdir):
+            if e.is_dir() and LakeTable.exists(e.path):
+                with open(os.path.join(e.path, "_table.json")) as f:
+                    meta = json.load(f)
+                out[e.name] = {
+                    "fork_version": int(meta["fork_version"]),
+                    "current_version": LakeTable(e.path).current_version(),
+                }
+        return out
+
+    def create_branch(self, name: str, version: int | None = None) -> "LakeTable":
+        """Fork a writable branch at a retained snapshot (default:
+        current) — the write-audit-publish pattern: stage commits on the
+        branch (a full LakeTable sharing main's data files by
+        reference, metadata-only fork), audit them, then atomically
+        ``fast_forward`` main. Data files are never copied: the branch's
+        v0 manifest is an image of the forked manifest (file paths are
+        absolute), and branch commits write NEW files under the branch's
+        own data dir, invisible to main until fast-forward.
+
+        A live branch pins its fork snapshot against
+        ``expire_snapshots`` (Iceberg ref-retention), so main's
+        ``vacuum`` can never reclaim files the branch still references."""
+        v = self.current_version() if version is None else int(version)
+        m = self.manifest(v)  # raises if expired
+        root = self._branch_root(name)
+        if LakeTable.exists(root):
+            raise ValueError(f"branch {name!r} already exists; drop_branch first")
+        br = LakeTable.create(
+            root,
+            num_buckets=int(m.get("num_buckets", self.num_buckets)),
+            mode=self.mode,
+            compact_every=self.compact_every,
+        )
+        fork = dict(m)
+        fork.update(
+            {"version": 0, "parent": None, "batch_id": int(m["batch_id"]),
+             "committed_at": time.time()}
+        )
+        _atomic_write_json(_manifest_path(root, 0), fork)
+        with open(os.path.join(root, "_table.json")) as f:
+            meta = json.load(f)
+        meta["fork_version"] = v
+        _atomic_write_json(os.path.join(root, "_table.json"), meta)
+        return LakeTable(root)
+
+    def branch(self, name: str) -> "LakeTable":
+        root = self._branch_root(name)
+        if not LakeTable.exists(root):
+            raise ValueError(
+                f"no such branch: {name!r} (have: {sorted(self.branches())})"
+            )
+        return LakeTable(root)
+
+    def drop_branch(self, name: str) -> None:
+        """Delete a branch: its metadata and its branch-local data files
+        (files it referenced from main are untouched — branches only
+        ever read them)."""
+        root = self._branch_root(name)
+        if not LakeTable.exists(root):
+            raise ValueError(f"no such branch: {name!r}")
+        shutil.rmtree(root)
+
+    def fast_forward(self, name: str, batch_id: int | None = None) -> int:
+        """Publish a branch's current snapshot as main's next version —
+        the atomic "publish" of write-audit-publish. Requires main to be
+        UNCHANGED since the fork (same precondition as Iceberg's
+        fast-forward: a diverged main needs a re-fork, there is no
+        merge); raises ``ConcurrentCommitError`` otherwise.
+
+        Branch-local data files are hard-linked into main's data dir
+        (same filesystem by construction — the branch lives under
+        main's root; falls back to copy where linking is unsupported)
+        and the published manifest rewrites their paths, so the branch
+        can be dropped immediately after. The commit reuses the
+        branch's last ``batch_id`` by default, keeping the claim
+        protocol's same-batch redelivery semantics intact.
+
+        Returns the new main version. The branch is left alive (re-audit
+        or drop is the caller's call)."""
+        br = self.branch(name)
+        with open(os.path.join(br.root, "_table.json")) as f:
+            fork_version = int(json.load(f)["fork_version"])
+        cur = self.current_version()
+        if cur != fork_version:
+            raise ConcurrentCommitError(
+                f"main advanced since branch {name!r} forked "
+                f"(fork at v{fork_version}, main at v{cur}) — fast-forward "
+                "requires an unchanged main; re-fork and re-apply"
+            )
+        bm = br.manifest()
+        if bm["version"] == 0:
+            return cur  # nothing staged; no-op
+        bdata = os.path.join(br.root, "data") + os.sep
+
+        def _migrate(p: str) -> str:
+            if not p.startswith(bdata):
+                return p  # already a main file (carried by reference)
+            dest = os.path.join(self.root, "data", p[len(bdata):])
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            if not os.path.exists(dest):
+                try:
+                    os.link(p, dest)
+                except OSError:
+                    shutil.copy2(p, dest)
+            return dest
+
+        files = {b: [_migrate(p) for p in fl] for b, fl in bm["files"].items()}
+        deltas = {
+            b: [_migrate(p) for p in fl]
+            for b, fl in bm.get("deltas", {}).items()
+        }
+        manifest = {
+            "version": cur + 1,
+            "batch_id": int(bm["batch_id"]) if batch_id is None else int(batch_id),
+            "parent": cur,
+            "schema_version": bm["schema_version"],
+            "num_buckets": int(bm.get("num_buckets", self.num_buckets)),
+            "files": files,
+            "deltas": deltas,
+            "bucket_lsn": bm["bucket_lsn"],
+            "stats": {
+                **bm.get("stats", {}),
+                "fast_forward_from": name,
+                "branch_version": bm["version"],
+            },
+        }
+        if "changelog" in bm:
+            manifest["changelog"] = [_migrate(p) for p in bm["changelog"]]
+        if bm.get("stats_cols"):
+            manifest["stats_cols"] = bm["stats_cols"]
+            manifest["file_stats"] = {
+                _migrate(p): s for p, s in bm.get("file_stats", {}).items()
+            }
+        manifest["committed_at"] = time.time()
+        self._claim_and_write_manifest(manifest)
+        _atomic_write_text(
+            os.path.join(self.root, "_current"), str(manifest["version"])
+        )
+        # a branch rebucket carries the new layout onto main
+        self.num_buckets = manifest["num_buckets"]
+        return manifest["version"]
+
     def expire_snapshots(self, keep_last: int = 10) -> int:
         """Expire snapshots older than the newest ``keep_last`` (Iceberg
         maintenance parity): their manifest JSONs are deleted and the
@@ -241,8 +398,9 @@ class LakeTable:
         ``vacuum()`` reclaim data files referenced only by expired
         snapshots. At 10^10-event scale this is what keeps metadata and
         storage O(retained history) instead of O(all history).
-        Tags retain: the marker never advances past the oldest tagged
-        version (Iceberg ref-retention semantics), keeping the retained
+        Tags and live branches retain: the marker never advances past
+        the oldest tagged or branch-fork version (Iceberg ref-retention
+        semantics), keeping the retained
         range contiguous — a long-lived tag therefore holds history; the
         stats CLI surfaces tag pins so the cost is visible.
         Driver-side metadata-only; returns the number expired."""
@@ -251,9 +409,14 @@ class LakeTable:
         cur = self.current_version()
         prev_oldest = self.oldest_version()
         new_oldest = max(prev_oldest, cur - keep_last + 1)
-        tagged = self.tags()
-        if tagged:
-            new_oldest = min(new_oldest, min(tagged.values()))
+        pins = list(self.tags().values()) + [
+            b["fork_version"] for b in self.branches().values()
+        ]
+        if pins:
+            # tags AND live branches retain (Iceberg ref retention): a
+            # branch's fork image references main files via the forked
+            # manifest, so expiring past it would let vacuum eat them.
+            new_oldest = min(new_oldest, min(pins))
             new_oldest = max(new_oldest, prev_oldest)
         # advance the marker FIRST: readers then exclude the expiring
         # versions before any manifest disappears, so a crash mid-expire

@@ -151,3 +151,41 @@ def test_cli_mv_and_envelope_replay(spark, unit_events_dir, tmp_path, capsys):
         if l.startswith("{")
     ]
     assert read_out
+
+
+def test_cli_branch_wap(spark, unit_events_dir, tmp_path, capsys):
+    """branch create → stage a replay on the branch → list →
+    fast-forward → drop, all through the CLI."""
+    lake_dir = str(tmp_path / "lake_br")
+    rc = main(
+        ["replay", "--events", f"{unit_events_dir}", "--lake", lake_dir,
+         "--checkpoint", str(tmp_path / "ck1"), "--create", "--buckets", "8",
+         "--max-files-per-trigger", "100"]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    cur = LakeTable(lake_dir).current_version()
+
+    rc = main(["branch", "create", "--lake", lake_dir, "--name", "stage"])
+    created = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and created["fork_version"] == cur
+
+    # stage one more commit on the branch (batch replay onto its root)
+    from tartare_spark.operators.apply import apply_batch
+
+    br = LakeTable(lake_dir).branch("stage")
+    ev = spark.read.parquet(f"{unit_events_dir}/*.parquet")
+    apply_batch(spark, br, ev.limit(10),
+                batch_id=LakeTable(lake_dir).last_batch_id() + 1)
+
+    rc = main(["branch", "list", "--lake", lake_dir])
+    listed = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and listed["stage"]["current_version"] == 1
+
+    rc = main(["branch", "fast-forward", "--lake", lake_dir, "--name", "stage"])
+    ff = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and ff["main_version"] == cur + 1
+
+    rc = main(["branch", "drop", "--lake", lake_dir, "--name", "stage"])
+    assert rc == 0
+    assert LakeTable(lake_dir).branches() == {}

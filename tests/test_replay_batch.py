@@ -837,3 +837,95 @@ def test_tags_pin_and_retain_snapshots(spark, unit_events, tmp_path):
     # tagging an expired version is a loud error
     with pytest.raises(ValueError, match="expired"):
         lake.create_tag("too-old", version=pinned)
+
+
+def _split_events(unit_events):
+    bounds = unit_events.agg(
+        F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
+    ).collect()[0]
+    mid = (int(bounds["lo"]) + int(bounds["hi"])) // 2
+    return (
+        unit_events.filter(F.col("lsn") <= mid),
+        unit_events.filter(F.col("lsn") > mid),
+    )
+
+
+def test_branch_wap_publish_matches_referee(spark, unit_events, tmp_path):
+    """Write-audit-publish: stage the second half of the log on a
+    branch. While staged, main is bit-identical to its pre-branch
+    state; fast-forward publishes atomically; the final state matches
+    the referee; published files survive branch drop + vacuum."""
+    lake = LakeTable.create(str(tmp_path / "lake_wap"), num_buckets=8)
+    first, rest = _split_events(unit_events)
+    replay_batches(spark, lake, first, num_chunks=2)  # batches 0, 1
+    v0 = lake.current_version()
+    before = {tuple(r) for r in lake.snapshot(spark).collect()}
+
+    br = lake.create_branch("audit")
+    assert lake.branches()["audit"]["fork_version"] == v0
+    # fork is a metadata image: branch reads main's files by reference
+    assert {tuple(r) for r in br.snapshot(spark).collect()} == before
+    # no-op fast-forward of an empty branch
+    assert lake.fast_forward("audit") == v0
+
+    replay_batches(spark, br, rest, num_chunks=2, start_batch_id=2)
+    # staged commits are visible on the branch, invisible on main
+    assert lake.current_version() == v0
+    assert {tuple(r) for r in lake.snapshot(spark).collect()} == before
+    assert {tuple(r) for r in br.snapshot(spark).collect()} != before
+
+    assert lake.fast_forward("audit") == v0 + 1
+    lake.drop_branch("audit")
+    with pytest.raises(ValueError, match="no such branch"):
+        lake.branch("audit")
+    assert_state_equals_referee(spark, lake)
+    lake.vacuum()  # hard-linked publish files are referenced = kept
+    assert_state_equals_referee(spark, lake)
+    m = lake.manifest()
+    assert m["stats"]["fast_forward_from"] == "audit"
+    # every published file now lives under MAIN's data dir
+    import os as _os
+
+    for fl in list(m["files"].values()) + list(m.get("deltas", {}).values()):
+        for p in fl:
+            assert p.startswith(_os.path.join(lake.root, "data") + _os.sep), p
+
+
+def test_branch_fast_forward_requires_unchanged_main(
+    spark, unit_events, tmp_path
+):
+    """A diverged main refuses fast-forward loudly (re-fork, no merge);
+    duplicate branch names are loud; unknown branches are loud."""
+    from tartare_spark.lake.table import ConcurrentCommitError
+
+    lake = LakeTable.create(str(tmp_path / "lake_div"), num_buckets=8)
+    first, rest = _split_events(unit_events)
+    replay_batches(spark, lake, first, num_chunks=2)
+    br = lake.create_branch("stage")
+    with pytest.raises(ValueError, match="already exists"):
+        lake.create_branch("stage")
+    replay_batches(spark, br, rest, num_chunks=1, start_batch_id=2)
+    # main moves on → branch is stale
+    apply_batch(spark, lake, rest.limit(5), batch_id=2)
+    with pytest.raises(ConcurrentCommitError, match="main advanced"):
+        lake.fast_forward("stage")
+    with pytest.raises(ValueError, match="no such branch"):
+        lake.fast_forward("nope")
+    lake.drop_branch("stage")
+
+
+def test_branch_pins_expiration(spark, unit_events, tmp_path):
+    """A live branch retains its fork snapshot through
+    expire_snapshots (ref retention); dropping the branch releases it."""
+    lake = LakeTable.create(str(tmp_path / "lake_pin"), num_buckets=8)
+    replay_batches(spark, lake, unit_events, num_chunks=4)
+    fork_v = lake.current_version() - 2
+    lake.create_branch("held", version=fork_v)
+    cur = lake.current_version()
+    lake.expire_snapshots(keep_last=1)
+    assert lake.oldest_version() == fork_v  # pinned by the branch
+    lake.vacuum()
+    assert lake.snapshot(spark, version=fork_v).count() > 0
+    lake.drop_branch("held")
+    lake.expire_snapshots(keep_last=1)
+    assert lake.oldest_version() == cur
