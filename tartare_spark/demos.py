@@ -178,6 +178,40 @@ def s12_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@demo("s13_bootstrap_tail", _CDC_SQL)
+def s13_bootstrap_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard CDC deployment shape: consistent snapshot → binlog
+    tail. The first half of the log is collapsed to a source-table
+    snapshot (live rows at their commit LSNs) and bulk-loaded into an
+    empty lake as finished base segments (no merge machinery); the
+    second half tails in through the normal apply path. LWW-by-LSN
+    makes the handoff at-least-once-safe, so the final state must equal
+    a straight replay of the whole log — the flagship oracle."""
+    import shutil
+
+    from tartare_spark.lake.table import LakeTable
+    from tartare_spark.operators.apply import bootstrap_load, replay_batches
+    from tartare_spark.operators.dedup import dedup_latest_lsn
+
+    ch = _events_as_changelog(spark, sf_dir)
+    root = os.path.join(tempfile.gettempdir(), f"tartare_demo_boot_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    lake = LakeTable.create(os.path.join(root, "lake"), num_buckets=16)
+    bounds = ch.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).collect()[0]
+    mid = (int(bounds["lo"]) + int(bounds["hi"])) // 2
+    snap = dedup_latest_lsn(
+        ch.filter(F.col("lsn") <= mid), keys=["repo", "path"], order_col="lsn"
+    ).filter(F.col("op") != "delete")
+    bootstrap_load(spark, lake, snap.drop("op"), batch_id=0)
+    replay_batches(
+        spark, lake, ch.filter(F.col("lsn") > mid), num_chunks=2,
+        start_batch_id=1,
+    )
+    return lake.snapshot(spark).select(
+        "repo", "path", "commit", "content", "_lsn", "_content_sha"
+    )
+
+
 # ======================================================================
 # 2.1 scans / sources / sinks
 # ======================================================================

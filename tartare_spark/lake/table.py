@@ -992,6 +992,75 @@ class LakeTable:
             "max_event_ts": max_ts,
         }
 
+    def bootstrap_base(
+        self,
+        staged_phys: DataFrame,
+        batch_id: int = 0,
+        pre_partitioned: bool = False,
+        extra_stats: dict | None = None,
+    ) -> dict | None:
+        """Initial-snapshot bulk load (the Debezium-snapshot half of a
+        CDC deployment): write deduped physical rows straight into the
+        table's BASE — no merge, no deltas, no read of existing state,
+        which is only sound because the table must be EMPTY (asserted).
+        Unlike the hot-path delta commit, base files get the long-lived
+        treatment up front (key bloom filters + zstd), exactly what
+        ``compact`` would otherwise pay later to establish.
+
+        Watermarks come from the written files' parquet footers, same
+        single-job shape as ``append_delta``; the subsequent binlog tail
+        starts at ``batch_id + 1`` and LWW-by-LSN resolves any
+        snapshot/tail overlap (events at or below a key's snapshot LSN
+        lose — so an at-least-once handoff between snapshot and tail is
+        safe, matching the fence semantics everywhere else)."""
+        if batch_id <= self.last_batch_id():
+            return None
+        m = self.manifest()
+        self._assert_layout(m)
+        if any(m["files"].values()) or any(m.get("deltas", {}).values()):
+            raise ValueError(
+                "bootstrap_base requires an EMPTY table (it writes the "
+                "base without merging); this table already has data — "
+                "use apply_batch for incremental loads"
+            )
+        new_files = self._write_data_files(
+            staged_phys,
+            f"bootstrap-{batch_id}-{uuid.uuid4().hex[:8]}",
+            self.num_buckets,
+            pre_partitioned=pre_partitioned,
+            blooms=True,
+            codec="zstd",
+        )
+        if not new_files:
+            return {"keys": 0, "touched_buckets": [], "max_lsn": None}
+        bucket_lsn_updates, n_keys, max_ts = _footer_stats(new_files, with_ts=True)
+        touched = sorted(new_files)
+
+        def _attempt():
+            prev = self.manifest()
+            files = dict(prev["files"])
+            for b in touched:
+                files[str(b)] = sorted(new_files.get(b, []))
+            self._publish(
+                prev,
+                batch_id=batch_id,
+                files=files,
+                deltas=dict(prev.get("deltas", {})),
+                bucket_lsn_updates=bucket_lsn_updates,
+                schema_version=None,
+                extra_stats={
+                    **(extra_stats or {}), "keys": n_keys, "bootstrap": True,
+                },
+            )
+
+        self._publish_writer_commit(_attempt)
+        return {
+            "keys": n_keys,
+            "touched_buckets": touched,
+            "max_lsn": max(bucket_lsn_updates.values()),
+            "max_event_ts": max_ts,
+        }
+
     def max_delta_files(self) -> int:
         m = self.manifest()
         return max((len(v) for v in m.get("deltas", {}).values()), default=0)

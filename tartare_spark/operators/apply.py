@@ -477,3 +477,63 @@ def replay_batches(
     finally:
         events.unpersist()
     return out
+
+
+def bootstrap_load(
+    spark: SparkSession,
+    lake: LakeTable,
+    snapshot: DataFrame,
+    batch_id: int = 0,
+    snapshot_lsn: int | None = None,
+) -> dict:
+    """Entry C — initial-snapshot bulk load: seed an EMPTY lake from a
+    full source-table snapshot (repo, path, commit, lang, content, and
+    optionally per-row ``lsn``/``ts``), then hand off to the binlog
+    tail (``run_stream``/``replay_batches`` with ``start_batch_id =
+    batch_id + 1``). This is the standard CDC deployment shape
+    (consistent snapshot → tail from the snapshot's log position): the
+    snapshot skips the merge machinery entirely — one shuffle to
+    co-locate buckets, dedup-by-key runs exchange-free on top of it
+    (same plan shape as the MOR hot path), and files land as finished
+    base segments (blooms + zstd) with footer-recovered watermarks.
+
+    ``snapshot_lsn`` stamps every row when the snapshot has no ``lsn``
+    column (a storage-level snapshot taken at one log position);
+    per-row LSNs (an export that kept commit positions) take precedence.
+    Tail overlap is safe either way: LWW-by-LSN makes redelivered or
+    pre-snapshot events lose against the loaded rows.
+
+    Returns the metrics record (also appended to the lake's log)."""
+    t0 = time.time()
+    cols = dict.fromkeys(snapshot.columns)
+    if "lsn" not in cols:
+        if snapshot_lsn is None:
+            raise ValueError(
+                "snapshot has no 'lsn' column — pass snapshot_lsn (the "
+                "log position the snapshot was taken at)"
+            )
+        snapshot = snapshot.withColumn("lsn", F.lit(int(snapshot_lsn)))
+    if "ts" not in cols:
+        snapshot = snapshot.withColumn("ts", F.lit(None).cast("timestamp"))
+    if "lang" not in cols:
+        snapshot = snapshot.withColumn("lang", F.lit(None).cast("string"))
+    ev = snapshot.withColumn("op", F.lit("update")).select(*EVENT_COLS)
+    ev_b = ev.withColumn("_bucket", bucket_expr(lake.num_buckets))
+    part = ev_b.repartition(max(lake.num_buckets, 1), "_bucket")
+    staged = dedup_latest_lsn(
+        part, keys=["_bucket", "repo", "path"], order_col="lsn"
+    )
+    res = lake.bootstrap_base(
+        _phys_projection(staged), batch_id=batch_id, pre_partitioned=True
+    )
+    rec = {
+        "batch_id": batch_id,
+        "bootstrap": True,
+        "skipped": res is None,
+        "rows": res["keys"] if res else 0,
+        "buckets_touched": len(res["touched_buckets"]) if res else 0,
+        "max_lsn": res["max_lsn"] if res else None,
+        "seconds": time.time() - t0,
+    }
+    lake.append_metrics(rec)
+    return rec

@@ -929,3 +929,55 @@ def test_branch_pins_expiration(spark, unit_events, tmp_path):
     lake.drop_branch("held")
     lake.expire_snapshots(keep_last=1)
     assert lake.oldest_version() == cur
+
+
+def test_bootstrap_then_tail_matches_referee(spark, unit_events, tmp_path):
+    """Snapshot → tail handoff: collapse the first half of the log to a
+    live-rows snapshot, bulk-load it, then tail THE WHOLE log again
+    (full at-least-once overlap: every first-half event is redelivered).
+    LWW-by-LSN must converge to the straight-replay referee state."""
+    from tartare_spark.operators.apply import bootstrap_load
+    from tartare_spark.operators.dedup import dedup_latest_lsn
+
+    lake = LakeTable.create(str(tmp_path / "lake_boot"), num_buckets=8)
+    first, _rest = _split_events(unit_events)
+    snap = dedup_latest_lsn(first, keys=["repo", "path"], order_col="lsn").filter(
+        F.col("op") != "delete"
+    )
+    rec = bootstrap_load(spark, lake, snap.drop("op"), batch_id=0)
+    assert rec["rows"] == snap.count() and not rec["skipped"]
+    m = lake.manifest()
+    # snapshot landed as BASE segments, not deltas, with watermarks
+    assert any(m["files"].values()) and not any(m.get("deltas", {}).values())
+    assert m["stats"]["bootstrap"] is True and m["bucket_lsn"]
+    # redelivery of the bootstrap batch is a no-op
+    assert bootstrap_load(spark, lake, snap.drop("op"), batch_id=0)["skipped"]
+
+    replay_batches(spark, lake, unit_events, num_chunks=4, start_batch_id=1)
+    assert_state_equals_referee(spark, lake)
+
+
+def test_bootstrap_guards(spark, unit_events, tmp_path):
+    """Bootstrap refuses a non-empty table (it skips the merge, so
+    loading over data would corrupt); a snapshot without LSNs needs an
+    explicit snapshot position; constant-LSN snapshots load fine."""
+    from tartare_spark.operators.apply import bootstrap_load
+    from tartare_spark.operators.dedup import dedup_latest_lsn
+
+    lake = LakeTable.create(str(tmp_path / "lake_guard"), num_buckets=8)
+    apply_batch(spark, lake, unit_events.limit(20), batch_id=0)
+    snap = dedup_latest_lsn(
+        unit_events, keys=["repo", "path"], order_col="lsn"
+    ).filter(F.col("op") != "delete")
+    with pytest.raises(ValueError, match="EMPTY table"):
+        bootstrap_load(spark, lake, snap.drop("op"), batch_id=1)
+
+    lake2 = LakeTable.create(str(tmp_path / "lake_nolsn"), num_buckets=8)
+    no_lsn = snap.drop("op", "lsn", "ts")
+    with pytest.raises(ValueError, match="snapshot_lsn"):
+        bootstrap_load(spark, lake2, no_lsn, batch_id=0)
+    top = int(unit_events.agg(F.max("lsn")).collect()[0][0])
+    rec = bootstrap_load(spark, lake2, no_lsn, batch_id=0, snapshot_lsn=top)
+    assert rec["rows"] == snap.count()
+    # every bucket watermark sits at the snapshot position
+    assert set(lake2.manifest()["bucket_lsn"].values()) == {top}
