@@ -271,6 +271,47 @@ def s6_publish_export(spark, sf_dir):
 
 
 @demo(
+    "s14_bucketed_publish",
+    """
+    SELECT d.lang, e.label,
+           count(*) AS n,
+           CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang, e.label
+    """,
+)
+def s14_bucketed_publish(spark, sf_dir):
+    """Shuffle-once export: publish documents and embeddings as
+    co-bucketed tables on the join key, then join them — the join is
+    exchange-free (bucket-aligned SortMergeJoin; pinned with broadcast
+    disabled in tests/test_operators.py). At 100 TB the export shuffle
+    is paid once at write; every downstream consumer join skips it."""
+    import shutil
+
+    from tartare_spark.operators.publish import publish_bucketed, read_published
+
+    docs = T(spark, sf_dir, "documents")
+    emb = T(spark, sf_dir, "embeddings").withColumnRenamed("vec_id", "doc_id")
+    base = os.path.join(tempfile.gettempdir(), f"tartare_bpub_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    pid = os.getpid()
+    publish_bucketed(
+        docs, f"docs_pub_{pid}", os.path.join(base, "docs"),
+        ["doc_id"], num_buckets=8, sort_cols=["doc_id"],
+    )
+    publish_bucketed(
+        emb, f"emb_pub_{pid}", os.path.join(base, "emb"),
+        ["doc_id"], num_buckets=8, sort_cols=["doc_id"],
+    )
+    j = read_published(spark, f"docs_pub_{pid}").join(
+        read_published(spark, f"emb_pub_{pid}"), "doc_id"
+    )
+    return j.groupBy("lang", "label").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@demo(
     "s2_changelog_tail_counts",
     "SELECT event_id // 1000 AS batch_no, count(*) AS n FROM events GROUP BY 1",
 )

@@ -1321,3 +1321,53 @@ def test_pack_sequences_exact_past_double_precision(spark):
     for i, w in data:
         assert got[i] == (off, off // 997, (off + w - 1) // 997), (i, got[i])
         off += w
+
+
+def test_bucketed_publish_join_exchange_free(spark, tmp_path):
+    """Co-bucketed exports join with ZERO exchange (the write-once
+    shuffle contract): with broadcast disabled, the bucket-aligned
+    SortMergeJoin has no Exchange node at all, buckets prune on point
+    predicates, and results equal the plain join."""
+    from tartare_spark.operators.publish import publish_bucketed, read_published
+
+    docs = _docs(spark)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    publish_bucketed(docs, "t_docs_bj", str(tmp_path / "d"), ["doc_id"], 8,
+                     sort_cols=["doc_id"])
+    publish_bucketed(emb, "t_emb_bj", str(tmp_path / "e"), ["doc_id"], 8,
+                     sort_cols=["doc_id"])
+    a, b = read_published(spark, "t_docs_bj"), read_published(spark, "t_emb_bj")
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = a.join(b, "doc_id").select("doc_id", "lang", "label")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        got = {tuple(r) for r in j.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    plain = {
+        tuple(r)
+        for r in docs.join(emb, "doc_id").select("doc_id", "lang", "label").collect()
+    }
+    assert got == plain and got
+    # bucket pruning on a point predicate reaches the scan (a bare
+    # filter doesn't require the bucketed distribution, so Spark's
+    # autoBucketedScan turns bucketed reading off unless pinned on)
+    saved_abs = spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    )
+    try:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        pt = a.filter(F.col("doc_id") == 7)
+        pplan = pt._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in pplan, pplan
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", saved_abs
+        )
