@@ -1054,12 +1054,30 @@ class LakeTable:
             )
 
         self._publish_writer_commit(_attempt)
+        # Persist the epoch offset for a subsequent streaming tail:
+        # Structured Streaming epochs start at 0 for a fresh checkpoint,
+        # and the bootstrap just consumed batch ids ≤ batch_id — without
+        # the offset, run_stream's epoch 0 would be skipped as "already
+        # applied" and its rows silently lost. The offset is stable
+        # across resumes (same checkpoint ⇒ same epoch numbering), so
+        # epoch→batch_id mapping stays idempotent.
+        meta_path = os.path.join(self.root, "_table.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["stream_batch_offset"] = batch_id + 1
+        _atomic_write_json(meta_path, meta)
         return {
             "keys": n_keys,
             "touched_buckets": touched,
             "max_lsn": max(bucket_lsn_updates.values()),
             "max_event_ts": max_ts,
         }
+
+    def stream_batch_offset(self) -> int:
+        """Epoch→batch_id offset for streaming tails (set by
+        ``bootstrap_base``; 0 for tables that started from the log)."""
+        with open(os.path.join(self.root, "_table.json")) as f:
+            return int(json.load(f).get("stream_batch_offset", 0))
 
     def max_delta_files(self) -> int:
         m = self.manifest()

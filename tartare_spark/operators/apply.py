@@ -489,8 +489,12 @@ def bootstrap_load(
     """Entry C — initial-snapshot bulk load: seed an EMPTY lake from a
     full source-table snapshot (repo, path, commit, lang, content, and
     optionally per-row ``lsn``/``ts``), then hand off to the binlog
-    tail (``run_stream``/``replay_batches`` with ``start_batch_id =
-    batch_id + 1``). This is the standard CDC deployment shape
+    tail — ``run_stream`` maps its epochs past the bootstrap id
+    automatically (``stream_batch_offset``, persisted by the bootstrap
+    commit; without it epoch 0 would collide with the bootstrap's
+    batch_id and be skipped); batch callers pass ``start_batch_id =
+    batch_id + 1`` to ``replay_batches``. This is the standard CDC
+    deployment shape
     (consistent snapshot → tail from the snapshot's log position): the
     snapshot skips the merge machinery entirely — one shuffle to
     co-locate buckets, dedup-by-key runs exchange-free on top of it

@@ -109,7 +109,15 @@ def run_stream(
 
         src = stateful_lsn_filter(src)
 
+    # epoch→batch_id offset: nonzero iff the table was seeded by
+    # bootstrap_base (which consumed the low batch ids); captured once
+    # per run — it is immutable after bootstrap, and resumes of the same
+    # checkpoint renumber epochs identically, so idempotent-skip
+    # semantics are preserved across crashes.
+    batch_offset = lake.stream_batch_offset()
+
     def _apply(batch_df, batch_id: int):
+        batch_id += batch_offset
         apply_batch(
             spark, lake, batch_df, batch_id, registry=registry,
             lsn_fence="manifest" if manifest_fence else None,

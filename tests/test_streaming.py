@@ -448,3 +448,33 @@ def test_streaming_mv_auto_refresh(spark, unit_events_dir, tmp_path, expected):
     )
     assert lake.current_version() == v
     assert mv_rows() == want
+
+
+def test_bootstrap_then_streaming_tail(spark, unit_events_dir, tmp_path):
+    """The production handoff: bootstrap an initial snapshot, then tail
+    the WHOLE log through a fresh streaming checkpoint. Without the
+    epoch→batch_id offset the tail's epoch 0 collides with the
+    bootstrap's batch_id 0 and its rows are silently skipped — this
+    test pins the offset end-to-end (final state == referee)."""
+    from tartare_spark.operators.apply import bootstrap_load
+    from tartare_spark.operators.dedup import dedup_latest_lsn
+
+    ev = spark.read.parquet(f"{unit_events_dir}/*.parquet")
+    mid = int(ev.agg((F.min("lsn") + F.max("lsn")) / 2).collect()[0][0])
+    snap = dedup_latest_lsn(
+        ev.filter(F.col("lsn") <= mid), keys=["repo", "path"], order_col="lsn"
+    ).filter(F.col("op") != "delete")
+    lake = LakeTable.create(str(tmp_path / "lake_bs"), num_buckets=16)
+    bootstrap_load(spark, lake, snap.drop("op"), batch_id=0)
+    assert lake.stream_batch_offset() == 1
+    run_stream(
+        spark, unit_events_dir, lake, str(tmp_path / "ckpt_bs"),
+        max_files_per_trigger=7,
+    )
+    # the tail's epoch 0 must have been applied (as batch 1), not
+    # swallowed by the bootstrap's idempotency guard
+    applied = [m["batch_id"] for m in lake.metrics()
+               if not m.get("skipped") and not m.get("bootstrap")]
+    assert applied and min(applied) == 1
+    no_reg = replay_referee(pd.DataFrame(generate_change_events(UNIT)), None)
+    _assert_matches(spark, lake, None, no_reg)
