@@ -252,6 +252,24 @@ def cmd_tag(args) -> int:
     return 0
 
 
+def cmd_bootstrap(args) -> int:
+    from tartare_spark.lake.table import LakeTable
+    from tartare_spark.operators.apply import bootstrap_load
+
+    spark = _spark(args)
+    if args.create and not LakeTable.exists(args.lake):
+        lake = LakeTable.create(args.lake, num_buckets=args.buckets, mode=args.mode)
+    else:
+        lake = LakeTable(args.lake)
+    snap = spark.read.parquet(args.snapshot)
+    rec = bootstrap_load(
+        spark, lake, snap, batch_id=args.batch_id,
+        snapshot_lsn=args.snapshot_lsn,
+    )
+    print(json.dumps(rec))
+    return 0
+
+
 def cmd_branch(args) -> int:
     lake = _lake(args)
     if args.action == "create":
@@ -379,6 +397,23 @@ def build_parser() -> argparse.ArgumentParser:
     h = sub.add_parser("history", help="commit history (version, batch, wall-clock stamp, stats)")
     h.add_argument("--lake", required=True)
     h.set_defaults(fn=cmd_history)
+
+    bs = sub.add_parser(
+        "bootstrap",
+        help="bulk-load an initial source-table snapshot into an EMPTY "
+        "lake (base segments, no merge); then tail with `replay`",
+    )
+    bs.add_argument("--snapshot", required=True,
+                    help="parquet dir: repo,path,commit,lang,content[,lsn,ts]")
+    bs.add_argument("--lake", required=True)
+    bs.add_argument("--create", action="store_true")
+    bs.add_argument("--buckets", type=int, default=64)
+    bs.add_argument("--mode", choices=["mor", "cow"], default="mor")
+    bs.add_argument("--batch-id", type=int, default=0)
+    bs.add_argument("--snapshot-lsn", type=int, default=None,
+                    help="log position of the snapshot (required when "
+                    "the snapshot has no per-row lsn column)")
+    bs.set_defaults(fn=cmd_bootstrap)
 
     bp = sub.add_parser(
         "branch",

@@ -189,3 +189,32 @@ def test_cli_branch_wap(spark, unit_events_dir, tmp_path, capsys):
     rc = main(["branch", "drop", "--lake", lake_dir, "--name", "stage"])
     assert rc == 0
     assert LakeTable(lake_dir).branches() == {}
+
+
+def test_cli_bootstrap_then_replay(spark, unit_events_dir, tmp_path, capsys):
+    """bootstrap CLI seeds an empty lake from a snapshot parquet dir,
+    then the replay CLI tails the log on top of it."""
+    from pyspark.sql import functions as F
+
+    from tartare_spark.operators.dedup import dedup_latest_lsn
+
+    ev = spark.read.parquet(f"{unit_events_dir}/*.parquet")
+    mid = int(ev.agg((F.min("lsn") + F.max("lsn")) / 2).collect()[0][0])
+    snap_dir = str(tmp_path / "snap")
+    dedup_latest_lsn(
+        ev.filter(F.col("lsn") <= mid), keys=["repo", "path"], order_col="lsn"
+    ).filter(F.col("op") != "delete").drop("op").write.parquet(snap_dir)
+
+    lake_dir = str(tmp_path / "lake_cli_bs")
+    rc = main(["bootstrap", "--snapshot", snap_dir, "--lake", lake_dir,
+               "--create", "--buckets", "8"])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and rec["bootstrap"] and rec["rows"] > 0
+
+    rc = main(["replay", "--events", unit_events_dir, "--lake", lake_dir,
+               "--checkpoint", str(tmp_path / "ck_bs"),
+               "--max-files-per-trigger", "100"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and rep["rows_applied"] > 0
+    # the tail landed ABOVE the bootstrap batch id (offset mapping)
+    assert LakeTable(lake_dir).last_batch_id() >= 1
