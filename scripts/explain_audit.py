@@ -98,6 +98,14 @@ CHECKS = {
     # the bucketed-publish zero-Exchange join are asserted with
     # controlled confs in tests/test_operators.py).
     "tx10_quota_cap": ["WindowGroupLimit", "row_number"],
+    # Decontamination: the corpus streams through a BROADCAST join on
+    # the shingle (benchmark side broadcast) — never a corpus shuffle
+    # or an all-pairs comparison.
+    "dd9_decontaminate": [
+        "BroadcastHashJoin",
+        "NOT:CartesianProduct",
+        "NOT:BroadcastNestedLoopJoin",
+    ],
 }
 
 

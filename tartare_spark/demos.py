@@ -1465,6 +1465,54 @@ WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.02
 """
 
 
+@demo(
+    "dd9_decontaminate",
+    # same shingle CTE as dd4, split into train (id ≥ 10) vs a tiny
+    # benchmark set (id < 10); a pair is contaminated at ≥ 2 shared
+    # distinct trigrams
+    """
+    WITH docs AS (
+      SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, norm, regexp_split_to_array(norm, ' ') AS t FROM docs
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                      for i in range(1, len(t) - 1)])
+                  ELSE [norm] END AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), tr AS (
+      SELECT * FROM ex WHERE doc_id >= 10
+    ), be AS (
+      SELECT * FROM ex WHERE doc_id < 10
+    )
+    SELECT tr.doc_id AS train_id, be.doc_id AS bench_id,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM tr JOIN be USING (s)
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def dd9_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing ≥2 distinct
+    trigram shingles with any benchmark doc. The benchmark side is
+    broadcast (eval sets are tiny vs a 100 TB corpus), so the corpus
+    streams through a broadcast hash join on the shingle — no corpus
+    shuffle, no all-pairs scan (plan pinned in BENCH/PLANS.md)."""
+    from tartare_spark.operators.dedup_docs import contamination_report
+
+    docs = T(spark, sf_dir, "documents")
+    return contamination_report(
+        docs.filter(F.col("doc_id") >= 10),
+        docs.filter(F.col("doc_id") < 10),
+        shingle_n=3,
+        min_overlap=2,
+    )
+
+
 @demo("dd4_ngram_jaccard", _JACCARD_SQL)
 def dd4_ngram_jaccard(spark, sf_dir):
     from tartare_spark.operators.dedup_docs import jaccard_pairs

@@ -542,3 +542,38 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
     )
+
+
+def contamination_report(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: find training documents that share at
+    least ``min_overlap`` distinct n-gram shingles with any evaluation/
+    benchmark document — the standard pre-training hygiene pass (eval
+    answers leaking into the corpus inflate scores).
+
+    Scale shape: shingle both sides (one md5-free pass each), equi-join
+    on the shingle STRING with the benchmark side broadcast (eval sets
+    are tiny by definition — thousands of docs vs a 100 TB corpus), and
+    count shared shingles per (train, bench) pair. The corpus is
+    streamed through a broadcast hash join: no shuffle of the corpus,
+    no all-pairs comparison, cost O(corpus shingles). ``shingle_rows``
+    emits DISTINCT shingles per doc, so ``count(*)`` per pair IS the
+    distinct-overlap count."""
+    tr = shingle_rows(train, id_col, text_col, shingle_n).withColumnRenamed(
+        id_col, "train_id"
+    )
+    be = shingle_rows(bench, id_col, text_col, shingle_n).withColumnRenamed(
+        id_col, "bench_id"
+    )
+    return (
+        tr.join(F.broadcast(be), "s")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_overlap)
+    )

@@ -1371,3 +1371,27 @@ def test_bucketed_publish_join_exchange_free(spark, tmp_path):
         spark.conf.set(
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", saved_abs
         )
+
+
+def test_contamination_flags_planted_leak(spark):
+    """A training doc that embeds a benchmark doc verbatim must be
+    flagged with a large shared-shingle count; the corpus side must
+    stream through a BROADCAST join on the shingle (no corpus shuffle,
+    no cartesian)."""
+    from tartare_spark.operators.dedup_docs import contamination_report
+
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") < 5)
+    leak_text = bench.filter("doc_id = 3").collect()[0]["text"]
+    train = docs.filter(F.col("doc_id") >= 5).union(
+        spark.createDataFrame(
+            [(9999, "fresh prefix words " + leak_text, "en", "srcX", len(leak_text))],
+            docs.schema,
+        )
+    )
+    rep = contamination_report(train, bench, min_overlap=2)
+    hits = {(r["train_id"], r["bench_id"]): r["n_shared"] for r in rep.collect()}
+    assert (9999, 3) in hits and hits[(9999, 3)] >= 10
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
