@@ -403,6 +403,59 @@ def p3_op_router(spark, sf_dir):
     return ev.groupBy(op.alias("op")).agg(F.count("*").alias("n"))
 
 
+# the flagship LWW state computed over ONLY the events that pass the
+# quality gate (op='delete' OR length(content) <= 13) — expectations
+# exclude rows BEFORE the merge, which is observable: a key whose
+# newest event is long-content regresses to its newest SHORT version,
+# not to nothing
+_P4_SQL = _CH_CTE + """, flt AS (
+  SELECT * FROM ch WHERE op = 'delete' OR length(content) <= 13
+), last AS (
+  SELECT repo, path,
+         arg_max(op, lsn) AS op,
+         arg_max("commit", lsn) AS "commit",
+         arg_max(content, lsn) AS content,
+         max(lsn) AS _lsn
+  FROM flt GROUP BY repo, path
+)
+SELECT repo, path, "commit", content, _lsn, sha256(content) AS _content_sha
+FROM last WHERE op <> 'delete'
+"""
+
+
+@demo("p4_expectations", _P4_SQL)
+def p4_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations on the apply path (Delta Live Tables
+    analog): a max-content-length constraint quarantines violating
+    events BEFORE the merge, so they can never reach table state — the
+    final snapshot equals an LWW replay over only the passing events
+    (the oracle). Quarantined rows persist under _quarantine/ for
+    triage; counts land in every batch's metrics record."""
+    import shutil
+
+    from tartare_spark.lake.table import LakeTable
+    from tartare_spark.operators.apply import replay_batches
+    from tartare_spark.operators.expect import Expectation
+
+    ch = _events_as_changelog(spark, sf_dir)
+    root = os.path.join(tempfile.gettempdir(), f"tartare_demo_expect_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    lake = LakeTable.create(os.path.join(root, "lake"), num_buckets=16)
+    replay_batches(
+        spark, lake, ch, num_chunks=4,
+        expectations=[
+            Expectation(
+                "max_content_len",
+                "op = 'delete' OR length(content) <= 13",
+                action="quarantine",
+            )
+        ],
+    )
+    return lake.snapshot(spark).select(
+        "repo", "path", "commit", "content", "_lsn", "_content_sha"
+    )
+
+
 # ======================================================================
 # 2.3 joins
 # ======================================================================

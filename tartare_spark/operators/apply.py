@@ -161,6 +161,7 @@ def apply_batch(
     fence_order_check: bool = True,
     cow_changelog: bool = True,
     compact_async: bool = False,
+    expectations=None,
 ) -> dict:
     """Apply one micro-batch of change events. Idempotent by batch_id.
     Returns a metrics record (also appended to the lake's metrics log).
@@ -254,6 +255,19 @@ def apply_batch(
     elif lsn_fence is not None:
         raise ValueError(f"unknown lsn_fence {lsn_fence!r} (use 'manifest')")
 
+    expect_stats: dict | None = None
+    if expectations:
+        # data-quality gate (operators/expect.py): enforced AFTER the
+        # fence (a redelivered stale row should be fenced, not counted
+        # as a quality violation) and BEFORE staging, so a violating
+        # event can never reach table state. fail-action raises here —
+        # nothing below has written yet.
+        from tartare_spark.operators.expect import enforce_expectations
+
+        ev, expect_stats = enforce_expectations(
+            lake, ev, expectations, batch_id
+        )
+
     compact_worst: list[int] = []
     schema_fn = registry.current_version if registry else None
     if lake.mode == "mor":
@@ -327,6 +341,8 @@ def apply_batch(
                        "empty": True, "seconds": time.time() - t0}
                 if fence_stats:
                     rec.update(fence_stats)
+                if expect_stats:
+                    rec.update(expect_stats)
                 lake.append_metrics(rec)
                 return rec
             touched = sorted(int(r["_bucket"]) for r in bstats)
@@ -410,6 +426,8 @@ def apply_batch(
     }
     if fence_stats:
         rec.update(fence_stats)
+    if expect_stats:
+        rec.update(expect_stats)
     lake.append_metrics(rec)
     if compact_worst:
         # maintenance AFTER the batch's metrics record: the commit is

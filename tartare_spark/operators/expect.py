@@ -1,0 +1,132 @@
+"""Declarative data-quality expectations on the apply path (Delta Live
+Tables "expectations" / Great-Expectations-style constraints, engine-
+native).
+
+Reference analog: tartare validates inputs before integrating them into
+a coverage (invalid feeds are rejected at preprocess time) [SURVEY §2.2
+P2/P3]; the CDC-engine form is per-event constraints enforced BEFORE
+the merge, so a malformed upstream event can never reach table state.
+
+Each :class:`Expectation` is a SQL boolean over the event columns; a
+row passes only when the predicate is strictly TRUE (NULL counts as a
+violation — constraints must be decidable). Actions:
+
+- ``drop`` — violating rows are silently excluded from the merge (their
+  counts still land in the batch metrics record);
+- ``quarantine`` — violating rows are ALSO persisted (with a
+  ``_violations`` name array) under ``<lake>/_quarantine/batch-<id>``
+  for offline triage/repair-and-replay. The write is ``overwrite`` into
+  a batch-keyed dir, so a crash-redelivered batch rewrites rather than
+  duplicates;
+- ``fail`` — any violation aborts the batch BEFORE anything is written
+  (``ExpectationFailedError``); the table is untouched and the stream
+  stops loudly.
+
+Cost: opt-in, and only when configured — one violation-count aggregate
+per batch plus (when quarantining and violations exist) one small write
+of the violating rows. The clean-side filter fuses into the existing
+apply plan (a codegen'd predicate before the dedup shuffle), adding no
+job and no exchange to the hot path.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_ACTIONS = ("drop", "quarantine", "fail")
+
+
+class ExpectationFailedError(RuntimeError):
+    """A fail-action expectation was violated; the batch was aborted
+    before any write."""
+
+
+@dataclass(frozen=True)
+class Expectation:
+    name: str
+    predicate: str  # SQL boolean over event columns; TRUE = row passes
+    action: str = "drop"
+
+    def __post_init__(self):
+        if self.action not in _ACTIONS:
+            raise ValueError(
+                f"unknown action {self.action!r} for expectation "
+                f"{self.name!r} (use one of {_ACTIONS})"
+            )
+
+
+def tag_violations(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
+    """Add a ``_violations`` array column naming every failed
+    expectation (empty = row passes all). NULL predicates count as
+    violations: a constraint that cannot be decided on a row has not
+    been satisfied by it."""
+    viol = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    ~F.coalesce(F.expr(e.predicate), F.lit(False)), F.lit(e.name)
+                )
+                for e in expectations
+            ]
+        )
+    )
+    return df.withColumn("_violations", viol)
+
+
+def enforce_expectations(
+    lake,
+    events: DataFrame,
+    expectations: list[Expectation],
+    batch_id: int,
+) -> tuple[DataFrame, dict]:
+    """Split a batch against its expectations: returns the CLEAN frame
+    (violating rows removed, ``_violations`` dropped) plus a stats dict
+    for the batch metrics record. Raises :class:`ExpectationFailedError`
+    on any fail-action violation — before any quarantine write, so an
+    aborted batch leaves no partial artifacts."""
+    tagged = tag_violations(events, expectations)
+    counts = {
+        r["name"]: int(r["n"])
+        for r in tagged.select(F.explode("_violations").alias("name"))
+        .groupBy("name")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    failed = [
+        e.name for e in expectations if e.action == "fail" and counts.get(e.name)
+    ]
+    if failed:
+        raise ExpectationFailedError(
+            f"batch {batch_id} violates fail-action expectation(s) "
+            f"{failed} (counts: {({k: counts[k] for k in failed})}); "
+            "nothing was written"
+        )
+    n_dirty = 0
+    q_dir = None
+    if counts:
+        dirty = tagged.filter(F.size("_violations") > 0)
+        if any(e.action == "quarantine" for e in expectations):
+            q_dir = os.path.join(lake.root, "_quarantine", f"batch-{batch_id}")
+            dirty.write.mode("overwrite").parquet(q_dir)
+            # count from what was actually persisted (one footer read
+            # per file, no third pass over the batch)
+            import pyarrow.parquet as pq
+
+            n_dirty = sum(
+                pq.read_metadata(os.path.join(q_dir, f)).num_rows
+                for f in os.listdir(q_dir)
+                if f.endswith(".parquet")
+            )
+        else:
+            n_dirty = dirty.count()
+    clean = tagged.filter(F.size("_violations") == 0).drop("_violations")
+    stats = {
+        "expectations_failed": counts,
+        "rows_excluded": n_dirty,
+        "rows_quarantined": n_dirty if q_dir else 0,
+    }
+    return clean, stats

@@ -47,6 +47,7 @@ def run_stream(
     fence_order_check: bool = True,
     envelope: bool = False,
     compact_async: bool = False,
+    expectations=None,
     mv_path: str | None = None,
     mv_group_col: str = "repo",
 ):
@@ -127,6 +128,9 @@ def run_stream(
             # overlaps the next trigger instead of delaying it; drained
             # below after termination
             compact_async=compact_async,
+            # data-quality gate (operators/expect.py); a fail-action
+            # violation aborts the query loudly before any write
+            expectations=expectations,
         )
         if mv_path is not None:
             from tartare_spark.operators.mv import (

@@ -981,3 +981,59 @@ def test_bootstrap_guards(spark, unit_events, tmp_path):
     assert rec["rows"] == snap.count()
     # every bucket watermark sits at the snapshot position
     assert set(lake2.manifest()["bucket_lsn"].values()) == {top}
+
+
+def test_expectations_quarantine_and_fail(spark, unit_events, tmp_path):
+    """Quality gate semantics: violating events are excluded BEFORE the
+    merge (final state == referee over the passing subset), quarantined
+    rows persist with their violation names, counts land in metrics,
+    and a fail-action violation aborts before anything is written."""
+    from tartare_spark.operators.expect import (
+        Expectation,
+        ExpectationFailedError,
+    )
+    from tartare_spark.oracle import replay_referee
+    import pandas as pd
+    from tartare_spark.fixtures import generate_change_events
+
+    pred = "op = 'delete' OR length(content) <= 99"
+    exp = [Expectation("min_content_len", pred, action="quarantine")]
+    lake = LakeTable.create(str(tmp_path / "lake_exp"), num_buckets=8)
+    recs = replay_batches(spark, lake, unit_events, num_chunks=4,
+                          expectations=exp)
+    n_bad = unit_events.filter(f"NOT ({pred})").count()
+    assert n_bad > 0  # the gate must actually bind on this fixture
+    assert sum(r.get("rows_quarantined", 0) for r in recs) == n_bad
+    assert sum(
+        r.get("expectations_failed", {}).get("min_content_len", 0) for r in recs
+    ) == n_bad
+
+    # engine state == referee replay over ONLY the passing events
+    ev_pd = pd.DataFrame(generate_change_events(UNIT))
+    keep = (ev_pd["op"] == "delete") | (
+        ev_pd["content"].fillna("").str.len() <= 99
+    )
+    expected = replay_referee(ev_pd[keep], None)
+    exp_df = spark.createDataFrame(expected)
+    eng = lake.snapshot(spark).select(*expected.columns.tolist())
+    assert eng.exceptAll(exp_df).count() == 0
+    assert exp_df.exceptAll(eng).count() == 0
+
+    # quarantined rows are on disk with their violation names
+    q = spark.read.parquet(str(tmp_path / "lake_exp" / "_quarantine" / "*"))
+    assert q.count() == n_bad
+    assert set(q.select(F.explode("_violations")).distinct().toPandas().iloc[:, 0]) == {
+        "min_content_len"
+    }
+
+    # fail action: loud abort, nothing committed
+    lake2 = LakeTable.create(str(tmp_path / "lake_exp2"), num_buckets=8)
+    v0 = lake2.current_version()
+    with pytest.raises(ExpectationFailedError, match="min_content_len"):
+        apply_batch(
+            spark, lake2, unit_events, batch_id=0,
+            expectations=[Expectation("min_content_len", pred, action="fail")],
+        )
+    assert lake2.current_version() == v0
+    assert not any((tmp_path / "lake_exp2" / "_quarantine").glob("*")) \
+        if (tmp_path / "lake_exp2" / "_quarantine").exists() else True
