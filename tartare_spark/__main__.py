@@ -272,6 +272,9 @@ def cmd_bootstrap(args) -> int:
 
 def cmd_branch(args) -> int:
     lake = _lake(args)
+    if args.action != "list" and not args.name:
+        print(f"error: branch {args.action} requires --name", file=sys.stderr)
+        return 2
     if args.action == "create":
         lake.create_branch(args.name, version=args.version)
         print(json.dumps({"branch": args.name, **lake.branches()[args.name]}))

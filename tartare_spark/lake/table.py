@@ -238,7 +238,13 @@ class LakeTable:
     # branches (Iceberg writable-ref parity: write-audit-publish)
     # ------------------------------------------------------------------
     def _branch_root(self, name: str) -> str:
-        if not name or not all(c.isalnum() or c in "._-" for c in name):
+        # first char alphanumeric: dot-prefixed names are reserved for
+        # in-progress create_branch staging dirs (ignored by branches())
+        if (
+            not name
+            or not name[0].isalnum()
+            or not all(c.isalnum() or c in "._-" for c in name)
+        ):
             raise ValueError(f"invalid branch name: {name!r}")
         return os.path.join(self.root, "_branches", name)
 
@@ -249,7 +255,13 @@ class LakeTable:
         if not os.path.isdir(bdir):
             return out
         for e in os.scandir(bdir):
-            if e.is_dir() and LakeTable.exists(e.path):
+            # dot-prefixed dirs are create_branch staging left by a
+            # crash mid-create (the rename below never happened); they
+            # are not branches — a fresh create_branch of the same name
+            # proceeds normally and vacuum-style cleanup is manual
+            if e.name.startswith(".") or not e.is_dir():
+                continue
+            if LakeTable.exists(e.path):
                 with open(os.path.join(e.path, "_table.json")) as f:
                     meta = json.load(f)
                 out[e.name] = {
@@ -276,8 +288,16 @@ class LakeTable:
         root = self._branch_root(name)
         if LakeTable.exists(root):
             raise ValueError(f"branch {name!r} already exists; drop_branch first")
-        br = LakeTable.create(
-            root,
+        # Build the whole branch in a dot-prefixed staging dir, then
+        # os.rename it into place: the branch becomes visible ATOMICALLY
+        # and fully-formed. A crash mid-create leaves only a staging dir
+        # that branches()/expire_snapshots ignore — never a half-branch
+        # whose missing fork_version would wedge main's maintenance.
+        tmp = os.path.join(
+            self.root, "_branches", f".tmp-{name}-{uuid.uuid4().hex[:8]}"
+        )
+        LakeTable.create(
+            tmp,
             num_buckets=int(m.get("num_buckets", self.num_buckets)),
             mode=self.mode,
             compact_every=self.compact_every,
@@ -287,11 +307,12 @@ class LakeTable:
             {"version": 0, "parent": None, "batch_id": int(m["batch_id"]),
              "committed_at": time.time()}
         )
-        _atomic_write_json(_manifest_path(root, 0), fork)
-        with open(os.path.join(root, "_table.json")) as f:
+        _atomic_write_json(_manifest_path(tmp, 0), fork)
+        with open(os.path.join(tmp, "_table.json")) as f:
             meta = json.load(f)
         meta["fork_version"] = v
-        _atomic_write_json(os.path.join(root, "_table.json"), meta)
+        _atomic_write_json(os.path.join(tmp, "_table.json"), meta)
+        os.rename(tmp, root)  # atomic publish; fails loudly on a race
         return LakeTable(root)
 
     def branch(self, name: str) -> "LakeTable":
@@ -327,7 +348,13 @@ class LakeTable:
         protocol's same-batch redelivery semantics intact.
 
         Returns the new main version. The branch is left alive (re-audit
-        or drop is the caller's call)."""
+        or drop is the caller's call).
+
+        Change-feed caveat: do not ``compact`` a MOR branch before
+        fast-forwarding — the fold moves staged rows from delta files
+        (which the incremental feed reads) into base files (which it
+        skips), so those commits would vanish from ``changes()`` across
+        the publish. Compact on main after the fast-forward instead."""
         br = self.branch(name)
         with open(os.path.join(br.root, "_table.json")) as f:
             fork_version = int(json.load(f)["fork_version"])
@@ -375,8 +402,41 @@ class LakeTable:
                 "branch_version": bm["version"],
             },
         }
-        if "changelog" in bm:
-            manifest["changelog"] = [_migrate(p) for p in bm["changelog"]]
+        # Change-feed integrity: the FF commit collapses EVERY branch
+        # commit since the fork into one main version, so its sidecar
+        # set must be the UNION of all staged commits' changelogs — the
+        # last commit's alone would silently truncate the CoW feed for
+        # consumers reading across the publish. If any non-maintenance
+        # staged commit predates sidecars, omit the key entirely: the
+        # CoW feed then takes its legacy snapshot-diff fallback, which
+        # is slow but complete. (MOR needs none of this — the FF
+        # manifest's delta set already carries every staged delta file;
+        # the one exception is a branch that COMPACTED its staged
+        # deltas, which folds them into base files the feed skips —
+        # compact on main after fast-forward, not on the branch.)
+        all_changelogs: list[str] = []
+        sidecars_complete = True
+        prev_batch = None
+        for bv in range(0, int(bm["version"]) + 1):
+            try:
+                bmv = br.manifest(bv)
+            except (ValueError, FileNotFoundError):
+                # branch expired its own history — the union cannot be
+                # proven complete; fall back to the diff path
+                sidecars_complete = False
+                break
+            if bv == 0:
+                prev_batch = bmv["batch_id"]
+                continue
+            if bmv["batch_id"] == prev_batch:
+                continue  # maintenance commit: no logical change
+            prev_batch = bmv["batch_id"]
+            if "changelog" not in bmv:
+                sidecars_complete = False
+                break
+            all_changelogs.extend(_migrate(p) for p in bmv["changelog"])
+        if sidecars_complete and all_changelogs:
+            manifest["changelog"] = sorted(all_changelogs)
         if bm.get("stats_cols"):
             manifest["stats_cols"] = bm["stats_cols"]
             manifest["file_stats"] = {
@@ -1023,6 +1083,26 @@ class LakeTable:
                 "base without merging); this table already has data — "
                 "use apply_batch for incremental loads"
             )
+        # Persist the epoch offset for a subsequent streaming tail
+        # BEFORE the commit: Structured Streaming epochs start at 0 for
+        # a fresh checkpoint, and the bootstrap consumes batch ids ≤
+        # batch_id — without the offset, run_stream's epoch 0 would be
+        # skipped as "already applied" and its rows silently lost.
+        # Writing it first closes the crash window the other order has:
+        # a crash AFTER the manifest publish but BEFORE the offset write
+        # would make the redelivered bootstrap a no-op (idempotency
+        # early-return above) that never records the offset. The inverse
+        # crash (offset written, commit never published) is harmless —
+        # an un-bootstrapped table with an offset just numbers its tail
+        # batches from offset instead of 0, and the idempotency guard
+        # still sees monotone ids. The offset is stable across resumes
+        # (same checkpoint ⇒ same epoch numbering), so epoch→batch_id
+        # mapping stays idempotent.
+        meta_path = os.path.join(self.root, "_table.json")
+        with open(meta_path) as f:
+            meta = json.load(f)
+        meta["stream_batch_offset"] = batch_id + 1
+        _atomic_write_json(meta_path, meta)
         new_files = self._write_data_files(
             staged_phys,
             f"bootstrap-{batch_id}-{uuid.uuid4().hex[:8]}",
@@ -1054,18 +1134,6 @@ class LakeTable:
             )
 
         self._publish_writer_commit(_attempt)
-        # Persist the epoch offset for a subsequent streaming tail:
-        # Structured Streaming epochs start at 0 for a fresh checkpoint,
-        # and the bootstrap just consumed batch ids ≤ batch_id — without
-        # the offset, run_stream's epoch 0 would be skipped as "already
-        # applied" and its rows silently lost. The offset is stable
-        # across resumes (same checkpoint ⇒ same epoch numbering), so
-        # epoch→batch_id mapping stays idempotent.
-        meta_path = os.path.join(self.root, "_table.json")
-        with open(meta_path) as f:
-            meta = json.load(f)
-        meta["stream_batch_offset"] = batch_id + 1
-        _atomic_write_json(meta_path, meta)
         return {
             "keys": n_keys,
             "touched_buckets": touched,

@@ -528,6 +528,16 @@ def bootstrap_load(
     Returns the metrics record (also appended to the lake's log)."""
     t0 = time.time()
     cols = dict.fromkeys(snapshot.columns)
+    if "op" in cols:
+        # refuse rather than clobber: silently stamping 'update' over a
+        # real op column would bulk-load delete events as live rows (and
+        # LWW could never heal it — the loaded row carries the delete's
+        # own LSN). A snapshot is live rows only; filter + drop first.
+        raise ValueError(
+            "snapshot carries an 'op' column — bootstrap loads LIVE rows "
+            "only; filter deletes and .drop('op') first (a changelog "
+            "belongs in apply_batch/replay_batches, not bootstrap_load)"
+        )
     if "lsn" not in cols:
         if snapshot_lsn is None:
             raise ValueError(

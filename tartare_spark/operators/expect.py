@@ -22,11 +22,12 @@ violation — constraints must be decidable). Actions:
   (``ExpectationFailedError``); the table is untouched and the stream
   stops loudly.
 
-Cost: opt-in, and only when configured — one violation-count aggregate
-per batch plus (when quarantining and violations exist) one small write
-of the violating rows. The clean-side filter fuses into the existing
-apply plan (a codegen'd predicate before the dedup shuffle), adding no
-job and no exchange to the hot path.
+Cost: opt-in, and only when configured — ONE aggregate per batch (per-
+expectation counts and the dirty-row total in the same pass, via
+array_contains sums) plus, when quarantine-action violations exist, one
+small write of exactly those rows. The clean-side filter fuses into the
+existing apply plan (a codegen'd predicate before the dedup shuffle),
+adding no job and no exchange to the hot path.
 """
 
 from __future__ import annotations
@@ -89,13 +90,25 @@ def enforce_expectations(
     on any fail-action violation — before any quarantine write, so an
     aborted batch leaves no partial artifacts."""
     tagged = tag_violations(events, expectations)
+    # ONE aggregate over the batch yields both the per-expectation
+    # violation counts (array_contains sums — no explode, so a row
+    # violating several expectations counts once per each) and the
+    # total violating-row count (no double counting).
+    agg_row = tagged.agg(
+        F.sum((F.size("_violations") > 0).cast("long")).alias("_dirty"),
+        *[
+            F.sum(
+                F.array_contains("_violations", e.name).cast("long")
+            ).alias(e.name)
+            for e in expectations
+        ],
+    ).collect()[0]
     counts = {
-        r["name"]: int(r["n"])
-        for r in tagged.select(F.explode("_violations").alias("name"))
-        .groupBy("name")
-        .agg(F.count("*").alias("n"))
-        .collect()
+        e.name: int(agg_row[e.name] or 0)
+        for e in expectations
+        if agg_row[e.name]
     }
+    n_dirty = int(agg_row["_dirty"] or 0)
     failed = [
         e.name for e in expectations if e.action == "fail" and counts.get(e.name)
     ]
@@ -105,28 +118,33 @@ def enforce_expectations(
             f"{failed} (counts: {({k: counts[k] for k in failed})}); "
             "nothing was written"
         )
-    n_dirty = 0
-    q_dir = None
-    if counts:
-        dirty = tagged.filter(F.size("_violations") > 0)
-        if any(e.action == "quarantine" for e in expectations):
-            q_dir = os.path.join(lake.root, "_quarantine", f"batch-{batch_id}")
-            dirty.write.mode("overwrite").parquet(q_dir)
-            # count from what was actually persisted (one footer read
-            # per file, no third pass over the batch)
-            import pyarrow.parquet as pq
-
-            n_dirty = sum(
-                pq.read_metadata(os.path.join(q_dir, f)).num_rows
-                for f in os.listdir(q_dir)
-                if f.endswith(".parquet")
+    # Quarantine ONLY rows violating a quarantine-action expectation:
+    # drop-action violations are documented as silently excluded, and
+    # mixing them into the quarantine dir would poison triage tooling
+    # (and overstate rows_quarantined).
+    q_names = [e.name for e in expectations if e.action == "quarantine"]
+    n_quarantined = 0
+    if q_names and any(counts.get(n) for n in q_names):
+        q_dir = os.path.join(lake.root, "_quarantine", f"batch-{batch_id}")
+        to_q = tagged.filter(
+            F.arrays_overlap(
+                "_violations", F.array(*[F.lit(n) for n in q_names])
             )
-        else:
-            n_dirty = dirty.count()
+        )
+        to_q.write.mode("overwrite").parquet(q_dir)
+        # count from what was actually persisted (one footer read per
+        # file, no extra pass over the batch)
+        import pyarrow.parquet as pq
+
+        n_quarantined = sum(
+            pq.read_metadata(os.path.join(q_dir, f)).num_rows
+            for f in os.listdir(q_dir)
+            if f.endswith(".parquet")
+        )
     clean = tagged.filter(F.size("_violations") == 0).drop("_violations")
     stats = {
         "expectations_failed": counts,
         "rows_excluded": n_dirty,
-        "rows_quarantined": n_dirty if q_dir else 0,
+        "rows_quarantined": n_quarantined,
     }
     return clean, stats

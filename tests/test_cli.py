@@ -218,3 +218,11 @@ def test_cli_bootstrap_then_replay(spark, unit_events_dir, tmp_path, capsys):
     assert rc == 0 and rep["rows_applied"] > 0
     # the tail landed ABOVE the bootstrap batch id (offset mapping)
     assert LakeTable(lake_dir).last_batch_id() >= 1
+
+
+def test_cli_branch_requires_name(spark, unit_events_dir, tmp_path, capsys):
+    lake_dir = str(tmp_path / "lake_bn")
+    LakeTable.create(lake_dir, num_buckets=8)
+    rc = main(["branch", "create", "--lake", lake_dir])
+    assert rc == 2
+    assert "requires --name" in capsys.readouterr().err

@@ -1037,3 +1037,86 @@ def test_expectations_quarantine_and_fail(spark, unit_events, tmp_path):
     assert lake2.current_version() == v0
     assert not any((tmp_path / "lake_exp2" / "_quarantine").glob("*")) \
         if (tmp_path / "lake_exp2" / "_quarantine").exists() else True
+
+
+def test_expectations_mixed_actions_quarantine_scope(spark, unit_events, tmp_path):
+    """Mixed drop+quarantine: ONLY rows violating a quarantine-action
+    expectation are persisted; drop-action violations are excluded
+    silently but still counted in rows_excluded/metrics."""
+    from tartare_spark.operators.expect import Expectation
+
+    drop_pred = "op = 'delete' OR length(content) <= 99"      # binds
+    quar_pred = "op = 'delete' OR NOT content LIKE '%.py %'"  # binds differently
+    lake = LakeTable.create(str(tmp_path / "lake_mix"), num_buckets=8)
+    recs = replay_batches(
+        spark, lake, unit_events, num_chunks=2,
+        expectations=[
+            Expectation("short", drop_pred, action="drop"),
+            Expectation("no_py", quar_pred, action="quarantine"),
+        ],
+    )
+    n_quar_expect = unit_events.filter(f"NOT ({quar_pred})").count()
+    n_dirty_expect = unit_events.filter(
+        f"NOT ({drop_pred}) OR NOT ({quar_pred})"
+    ).count()
+    assert 0 < n_quar_expect < n_dirty_expect  # both gates bind, differently
+    assert sum(r.get("rows_quarantined", 0) for r in recs) == n_quar_expect
+    assert sum(r.get("rows_excluded", 0) for r in recs) == n_dirty_expect
+    q = spark.read.parquet(str(tmp_path / "lake_mix" / "_quarantine" / "*"))
+    assert q.count() == n_quar_expect
+    # every quarantined row names the quarantine expectation
+    assert q.filter(~F.array_contains("_violations", "no_py")).count() == 0
+
+
+def test_bootstrap_refuses_op_column(spark, unit_events, tmp_path):
+    """A snapshot carrying an 'op' column is a changelog — bootstrap
+    must refuse loudly instead of stamping deletes as live rows."""
+    from tartare_spark.operators.apply import bootstrap_load
+
+    lake = LakeTable.create(str(tmp_path / "lake_opguard"), num_buckets=8)
+    with pytest.raises(ValueError, match="'op' column"):
+        bootstrap_load(spark, lake, unit_events.limit(5), batch_id=0)
+
+
+def test_branch_ff_feed_spans_all_staged_commits(spark, unit_events, tmp_path):
+    """CoW write-audit-publish: the fast-forward commit's change feed
+    must carry EVERY staged commit's keys, not just the last one's."""
+    lake = LakeTable.create(str(tmp_path / "lake_ffcl"), num_buckets=8,
+                            mode="cow")
+    first, rest = _split_events(unit_events)
+    replay_batches(spark, lake, first, num_chunks=1)
+    fork_v = lake.current_version()
+    br = lake.create_branch("stage")
+    # TWO staged commits with disjoint key sets
+    recs = replay_batches(spark, br, rest, num_chunks=2, start_batch_id=1)
+    assert sum(1 for r in recs if not r.get("empty")) == 2
+    staged_keys = {
+        (r["repo"], r["path"])
+        for r in br.changes(spark, from_version=0).select("repo", "path").collect()
+    }
+    lake.fast_forward("stage")
+    feed_keys = {
+        (r["repo"], r["path"])
+        for r in lake.changes(spark, from_version=fork_v)
+        .select("repo", "path").collect()
+    }
+    assert feed_keys == staged_keys
+
+
+def test_half_created_branch_does_not_wedge_maintenance(spark, unit_events, tmp_path):
+    """A crash mid-create_branch leaves only a dot-prefixed staging dir
+    that branches()/expire_snapshots ignore; a fresh create of the same
+    name proceeds."""
+    import os
+
+    lake = LakeTable.create(str(tmp_path / "lake_crash"), num_buckets=8)
+    replay_batches(spark, lake, unit_events, num_chunks=3)
+    # simulate the crash: staging dir exists, rename never happened
+    stage = os.path.join(lake.root, "_branches", ".tmp-held-deadbeef")
+    LakeTable.create(stage, num_buckets=8)  # no fork_version inside
+    assert lake.branches() == {}
+    lake.expire_snapshots(keep_last=1)  # must not raise KeyError
+    assert lake.oldest_version() == lake.current_version()
+    br = lake.create_branch("held")
+    assert lake.branches()["held"]["fork_version"] == lake.current_version()
+    lake.drop_branch("held")
