@@ -46,6 +46,14 @@ HEADLINE_QUERIES = [
     # and the Debezium envelope round-trip (to_json → from_json, codegen)
     "w5_scd2_history",
     "s11_cdc_envelope_source",
+    # round-4 session-4 corpus/composition operators (cheap per-call;
+    # the expensive replay-shaped demos s12/s13/p4 are covered by the
+    # cdc_* sections above)
+    "tx9_stratified_sample",
+    "tx10_quota_cap",
+    "tx11_pack_sequences",
+    "dd9_decontaminate",
+    "s14_bucketed_publish",
 ]
 
 

@@ -271,10 +271,12 @@ def cmd_bootstrap(args) -> int:
 
 
 def cmd_branch(args) -> int:
-    lake = _lake(args)
+    # usage validation before any I/O: a missing --name must not be
+    # masked by an unrelated lake-open failure
     if args.action != "list" and not args.name:
         print(f"error: branch {args.action} requires --name", file=sys.stderr)
         return 2
+    lake = _lake(args)
     if args.action == "create":
         lake.create_branch(args.name, version=args.version)
         print(json.dumps({"branch": args.name, **lake.branches()[args.name]}))

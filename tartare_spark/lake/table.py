@@ -238,11 +238,14 @@ class LakeTable:
     # branches (Iceberg writable-ref parity: write-audit-publish)
     # ------------------------------------------------------------------
     def _branch_root(self, name: str) -> str:
-        # first char alphanumeric: dot-prefixed names are reserved for
-        # in-progress create_branch staging dirs (ignored by branches())
+        # only dot-PREFIXED names are reserved (create_branch staging
+        # dirs, ignored by branches()); '_'/'-' prefixes stay legal so
+        # the validator and the lister can never disagree about whether
+        # a name is a branch (a listed-but-unaddressable branch would
+        # pin expiration forever with no way to drop it)
         if (
             not name
-            or not name[0].isalnum()
+            or name.startswith(".")
             or not all(c.isalnum() or c in "._-" for c in name)
         ):
             raise ValueError(f"invalid branch name: {name!r}")
@@ -312,7 +315,22 @@ class LakeTable:
             meta = json.load(f)
         meta["fork_version"] = v
         _atomic_write_json(os.path.join(tmp, "_table.json"), meta)
-        os.rename(tmp, root)  # atomic publish; fails loudly on a race
+        try:
+            os.rename(tmp, root)  # atomic publish
+        except OSError:
+            # the name is occupied. A debris dir that is NOT a valid
+            # branch (no _table.json — e.g. a manual mkdir or legacy
+            # half-create) is safe to sweep and replace; a real branch
+            # (or a concurrent create's winner) stays, and we clean up
+            # our staging dir before raising.
+            if os.path.isdir(root) and not LakeTable.exists(root):
+                shutil.rmtree(root)
+                os.rename(tmp, root)
+            else:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise ValueError(
+                    f"branch {name!r} already exists; drop_branch first"
+                )
         return LakeTable(root)
 
     def branch(self, name: str) -> "LakeTable":
@@ -1074,6 +1092,24 @@ class LakeTable:
         lose — so an at-least-once handoff between snapshot and tail is
         safe, matching the fence semantics everywhere else)."""
         if batch_id <= self.last_batch_id():
+            # Idempotent redelivery — but only of a bootstrap that
+            # actually COMMITTED. A bootstrap commit writes base
+            # segments, so a table whose current manifest has no base
+            # files cannot be one: this "redelivery" means the original
+            # bootstrap failed after a tail consumed the batch-id range
+            # (e.g. a supervisor restarted the stream before the
+            # bootstrap retry). Returning None here would silently drop
+            # the whole snapshot — raise instead.
+            if not any(self.manifest()["files"].values()):
+                raise ValueError(
+                    f"bootstrap batch_id {batch_id} <= last applied "
+                    f"({self.last_batch_id()}) but the table has no base "
+                    "segments — the original bootstrap never committed "
+                    "and the tail has moved past its batch id. Load the "
+                    "snapshot with a fresh batch_id above "
+                    "last_batch_id(), and start the tail only after the "
+                    "bootstrap succeeds."
+                )
             return None
         m = self.manifest()
         self._assert_layout(m)

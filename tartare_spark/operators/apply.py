@@ -527,7 +527,11 @@ def bootstrap_load(
 
     Returns the metrics record (also appended to the lake's log)."""
     t0 = time.time()
-    cols = dict.fromkeys(snapshot.columns)
+    # casefold: Spark's analyzer resolves column names case-
+    # insensitively by default, so an 'OP'/'Lsn' column would be
+    # silently replaced by withColumn — treat any case variant as
+    # present for every guard below
+    cols = {c.lower() for c in snapshot.columns}
     if "op" in cols:
         # refuse rather than clobber: silently stamping 'update' over a
         # real op column would bulk-load delete events as live rows (and

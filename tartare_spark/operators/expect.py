@@ -58,6 +58,14 @@ class Expectation:
                 f"unknown action {self.action!r} for expectation "
                 f"{self.name!r} (use one of {_ACTIONS})"
             )
+        # underscore prefix is reserved for engine columns/aliases
+        # (_violations, the _dirty aggregate) — a colliding user name
+        # would silently read the wrong count
+        if not self.name or self.name.startswith("_"):
+            raise ValueError(
+                f"invalid expectation name {self.name!r} (must be "
+                "non-empty and not start with '_')"
+            )
 
 
 def tag_violations(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
@@ -124,6 +132,17 @@ def enforce_expectations(
     # (and overstate rows_quarantined).
     q_names = [e.name for e in expectations if e.action == "quarantine"]
     n_quarantined = 0
+    if q_names and not any(counts.get(n) for n in q_names):
+        # redelivery hygiene: a PREVIOUS delivery of this batch id may
+        # have quarantined rows that the (repaired) redelivery no longer
+        # violates — clear the stale dir so the quarantine reflects what
+        # this commit actually excluded.
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(lake.root, "_quarantine", f"batch-{batch_id}"),
+            ignore_errors=True,
+        )
     if q_names and any(counts.get(n) for n in q_names):
         q_dir = os.path.join(lake.root, "_quarantine", f"batch-{batch_id}")
         to_q = tagged.filter(
