@@ -838,6 +838,32 @@ def o2_ordered_export(spark, sf_dir):
     return T(spark, sf_dir, "nation").select("n_nationkey", "n_name").orderBy("n_name")
 
 
+@demo(
+    "o3_global_rank",
+    """
+    SELECT o_orderkey, o_totalprice,
+           CAST(row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                AS BIGINT) AS rank
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def o3_global_rank(spark, sf_dir):
+    """Exact global ranking WITHOUT a single-partition window (the
+    naive ``row_number() OVER (ORDER BY …)`` moves the whole table to
+    one task): order-monotone coarse buckets + a driver-side prefix sum
+    of per-bucket counts + a bucket-partitioned window. One shuffle,
+    every stage parallel; the oracle is the naive global window."""
+    from tartare_spark.operators.sort import global_rank
+
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    ranked = global_rank(
+        orders,
+        bucket=F.floor(F.col("o_totalprice") / 10000),
+        order_cols=["o_totalprice", "o_orderkey"],
+    )
+    return ranked.select("o_orderkey", "o_totalprice", "rank")
+
+
 # ======================================================================
 # 2.7 set ops
 # ======================================================================

@@ -1395,3 +1395,46 @@ def test_contamination_flags_planted_leak(spark):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_global_rank_exact_and_partitioned(spark):
+    """Two-phase global rank equals the naive single-partition window
+    exactly, and its window is PARTITIONED (no whole-table-to-one-task
+    stage: the plan's Window has a partition spec and one Exchange on
+    the bucket, never a SinglePartition exchange)."""
+    from pyspark.sql import Window
+
+    from tartare_spark.operators.sort import global_rank
+
+    docs = _docs(spark)
+    ranked = global_rank(
+        docs, bucket=F.floor(F.col("n_chars") / 50),
+        order_cols=["n_chars", "doc_id"],
+    )
+    got = {r["doc_id"]: r["rank"] for r in ranked.collect()}
+    naive = {
+        r["doc_id"]: r["rank"]
+        for r in docs.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy("n_chars", "doc_id")),
+        ).collect()
+    }
+    assert got == naive and len(got) == 500
+    # AQE's toString appends the Initial Plan after the Final Plan —
+    # assert on the final section only
+    plan = (
+        ranked._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1 and "Window" in plan, plan
+    # negative buckets (negative leading keys) still rank exactly
+    neg = docs.withColumn("v", F.col("n_chars") - 300)
+    r2 = global_rank(neg, F.floor(F.col("v") / 50), ["v", "doc_id"])
+    n2 = {
+        r["doc_id"]: r["rank"]
+        for r in neg.withColumn(
+            "rank", F.row_number().over(Window.orderBy("v", "doc_id"))
+        ).collect()
+    }
+    assert {r["doc_id"]: r["rank"] for r in r2.collect()} == n2
