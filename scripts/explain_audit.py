@@ -106,6 +106,10 @@ CHECKS = {
         "NOT:CartesianProduct",
         "NOT:BroadcastNestedLoopJoin",
     ],
+    # Global rank: the window must be bucket-PARTITIONED — the naive
+    # global-order form plans a SinglePartition exchange (whole table
+    # to one task), which must never appear.
+    "o3_global_rank": ["Window", "NOT:SinglePartition"],
 }
 
 
