@@ -58,6 +58,13 @@ def main() -> None:
                 # slack = the fixture's documented 1000-LSN reorder
                 # horizon; 0-slack would drop late-but-new events
                 kw = {"manifest_fence": True, "fence_lateness": 1000}
+            elif variant == "manifest_nocheck":
+                # A/B the out-of-order-source detector: since round 5 it
+                # rides the write job as observe() metrics (zero extra
+                # jobs), so ON vs OFF should be wall-equal — this row is
+                # the proof (round-4 verdict item 2)
+                kw = {"manifest_fence": True, "fence_lateness": 1000,
+                      "fence_order_check": False}
             elif variant == "stateful":
                 kw["stateful_fence"] = True
             ev2 = os.path.join(work, f"events_{tag}")
@@ -97,7 +104,7 @@ def main() -> None:
 
         for ratio in (0.25, 0.5, 1.0):
             ref_sig = None
-            for variant in ("plain", "manifest", "stateful"):
+            for variant in ("plain", "manifest", "manifest_nocheck", "stateful"):
                 best = None
                 for rep in range(2):  # best-of-2 vs hypervisor noise
                     dt, rows, sig = run_one(ratio, variant, rep)
@@ -123,14 +130,15 @@ def main() -> None:
         shutil.rmtree(work, ignore_errors=True)
 
     # markdown summary for BENCH/BASELINE.md
-    print("\n| redelivery ratio | plain s / rows | manifest s / rows | stateful s / rows |")
-    print("|---|---|---|---|")
+    print("\n| redelivery ratio | plain s / rows | manifest s / rows | manifest (detector off) s / rows | stateful s / rows |")
+    print("|---|---|---|---|---|")
     for ratio in (0.25, 0.5, 1.0):
         row = {r["variant"]: r for r in results if r["redelivery_ratio"] == ratio}
-        print("| {:.0%} | {} / {} | {} / {} | {} / {} |".format(
+        print("| {:.0%} | {} / {} | {} / {} | {} / {} | {} / {} |".format(
             ratio,
             row["plain"]["tail_seconds"], row["plain"]["applied_rows"],
             row["manifest"]["tail_seconds"], row["manifest"]["applied_rows"],
+            row["manifest_nocheck"]["tail_seconds"], row["manifest_nocheck"]["applied_rows"],
             row["stateful"]["tail_seconds"], row["stateful"]["applied_rows"],
         ))
 

@@ -240,6 +240,12 @@ def cmd_history(args) -> int:
 
 
 def cmd_tag(args) -> int:
+    # usage validation before any I/O (mirrors cmd_branch): tag --drop
+    # without --name would otherwise surface as a confusing
+    # "no such tag: None" from drop_tag
+    if args.drop and not args.name:
+        print("error: tag --drop requires --name", file=sys.stderr)
+        return 2
     lake = _lake(args)
     if args.drop:
         v = lake.drop_tag(args.name)

@@ -52,6 +52,7 @@ commits at a time — same as the reference's per-coverage job queue.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import shutil
 import time
@@ -60,6 +61,8 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 # System columns stored physically in the lake (BASELINE.json:15 shape +
 # engine columns). ``_deleted`` tombstones keep last-writer-wins correct
@@ -1685,9 +1688,12 @@ class LakeTable:
             # fully-written temp. The claim is still exclusive and the
             # content still appears atomically; the only regression vs
             # the link path is a small window where the claimed name
-            # holds an empty file (a writer crashing there leaves an
-            # unparseable claim — the retry loop below already treats
-            # that as loud storage corruption rather than guessing).
+            # holds an empty file. The inspection loop below covers
+            # both fates of that window: a LIVE writer inside it gets a
+            # brief grace (retry while the claim's mtime is fresh), and
+            # a writer that CRASHED there leaves a stale EMPTY claim
+            # that is recovered by takeover — an empty file can only
+            # come from this window, never from a linked claim.
             try:
                 os.close(os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
             except FileExistsError:
@@ -1698,24 +1704,49 @@ class LakeTable:
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
-        # The claim exists and — because claims are only ever created
-        # from complete temp files — is complete JSON (a parse failure
-        # can only mean storage corruption; retry briefly, then give up
-        # loudly rather than guess).
+        # The claim exists. On the link path claims are only ever
+        # created from complete temp files, so they are complete JSON;
+        # the O_EXCL fallback above, however, has a small create→replace
+        # window where the claimed name is an EMPTY file. Inspect with
+        # that in mind: an unparseable claim with a RECENT mtime may be
+        # a live writer inside its fallback window — retry while it is
+        # fresh; an EMPTY claim that has gone stale can only be a writer
+        # that crashed inside the window (a linked claim is never empty)
+        # and is recovered by taking the claim over atomically; a STALE
+        # NON-EMPTY unparseable claim is genuine storage corruption —
+        # give up loudly rather than guess.
         existing = None
-        for _ in range(5):
+        for _ in range(25):
             try:
                 with open(path) as f:
                     existing = json.load(f)
                 break
             except (json.JSONDecodeError, ValueError):
+                try:
+                    st = os.stat(path)
+                except FileNotFoundError:
+                    # claimant vanished between our open and stat —
+                    # loop; the next open re-resolves the race
+                    continue
+                age = time.time() - st.st_mtime
+                if st.st_size == 0 and age > 2.0:
+                    logger.warning(
+                        "manifest claim %s is an empty file abandoned by "
+                        "a writer that crashed inside the no-hardlink "
+                        "O_EXCL fallback window — taking the claim over",
+                        path,
+                    )
+                    _atomic_write_json(path, manifest)
+                    return
+                if age > 2.0:
+                    break  # stale and non-empty: corruption, stop waiting
                 time.sleep(0.2)
         if existing is None:
             raise ConcurrentCommitError(
                 f"manifest version {manifest['version']} exists but is "
-                f"unreadable (claims are written atomically, so this is "
-                f"storage corruption, not a mid-write race) — inspect "
-                f"{path} manually"
+                f"unreadable and non-empty (claims are written "
+                f"atomically, so this is storage corruption, not a "
+                f"mid-write race) — inspect {path} manually"
             )
         if existing.get("batch_id") != manifest["batch_id"]:
             raise ConcurrentCommitError(

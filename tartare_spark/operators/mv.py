@@ -35,6 +35,7 @@ discipline as the lake itself).
 from __future__ import annotations
 
 import json
+import logging
 import os
 from typing import Callable
 
@@ -42,6 +43,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from tartare_spark.lake.table import LakeTable
+
+logger = logging.getLogger(__name__)
 
 
 def group_file_stats(snap: DataFrame, group_col: str) -> DataFrame:
@@ -105,22 +108,45 @@ def refresh_mv(
     mv_path: str,
     group_col: str = "repo",
     agg: Callable[[DataFrame, str], DataFrame] = group_file_stats,
+    dirty_broadcast_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Incremental refresh: recompute only the groups touched since the
     MV's recorded lake version. Equivalent to a full rebuild at the new
     version for ANY ``groupBy(group_col)`` agg (tested), at O(changed
     slice) cost. A group whose every key was deleted disappears; a
     brand-new group appears — both fall out of the splice with no
-    special casing."""
+    special casing.
+
+    If the MV's recorded lake version has been expired by
+    ``expire_snapshots`` (a refresh gap longer than the lake's
+    retention), the change feed is gone — fall back to a FULL rebuild
+    at the current version instead of dying, published as the next MV
+    version (the version sequence stays monotone). Size retention to
+    the refresh cadence to avoid paying this.
+
+    ``dirty_broadcast_threshold`` caps how many dirty groups may ride a
+    broadcast join (see :func:`refresh_plan`)."""
     meta = _read_meta(mv_path)
     from_v, to_v = int(meta["lake_version"]), lake.current_version()
     if from_v == to_v:
         return read_mv(spark, mv_path)
-    spliced = refresh_plan(
-        spark, lake, mv_path, from_v, to_v,
-        mv_version=int(meta["mv_version"]), group_col=group_col, agg=agg,
-    )
     next_version = int(meta["mv_version"]) + 1
+    try:
+        spliced = refresh_plan(
+            spark, lake, mv_path, from_v, to_v,
+            mv_version=int(meta["mv_version"]), group_col=group_col,
+            agg=agg, dirty_broadcast_threshold=dirty_broadcast_threshold,
+        )
+    except ValueError as err:
+        if "expired" not in str(err):
+            raise
+        logger.warning(
+            "MV %s recorded lake version %s was expired by "
+            "expire_snapshots — falling back to a full rebuild at v%s "
+            "(size snapshot retention to the refresh cadence)",
+            mv_path, from_v, to_v,
+        )
+        spliced = agg(lake.snapshot(spark, version=to_v), group_col)
     spliced.write.mode("overwrite").parquet(_data_dir(mv_path, next_version))
     _publish(mv_path, next_version, to_v)
     return read_mv(spark, mv_path)
@@ -135,23 +161,44 @@ def refresh_plan(
     mv_version: int | None = None,
     group_col: str = "repo",
     agg: Callable[[DataFrame, str], DataFrame] = group_file_stats,
+    dirty_broadcast_threshold: int = 1_000_000,
+    dirty_count: int | None = None,
 ) -> DataFrame:
-    """The refresh dataflow, unexecuted (split out so tests can assert
-    its physical plan: dirty keys broadcast to BOTH the snapshot-side
-    semi-join and the MV-side anti-join, never a shuffle of either).
+    """The refresh dataflow (split out so tests can assert its physical
+    plan: dirty keys broadcast to BOTH the snapshot-side semi-join and
+    the MV-side anti-join, never a shuffle of either).
     ``mv_version`` pins which MV state is spliced; it must be the
     version whose recorded lake watermark is ``from_v`` (``refresh_mv``
-    passes both from one meta read; defaults to the on-disk current)."""
+    passes both from one meta read; defaults to the on-disk current).
+
+    Broadcast guard: after a bulk backfill or a long refresh gap the
+    dirty set can be millions of groups — broadcasting that OOMs the
+    driver/executors. The dirty-group count is one cheap agg over the
+    O(changed-rows) feed (``dirty_count`` lets a caller that already
+    knows it skip the job); past ``dirty_broadcast_threshold`` both
+    joins run as plain shuffle semi/anti joins instead — more exchanges,
+    but bounded memory, and at a near-all-dirty ratio the shuffle is
+    carrying close to a full-rebuild's volume anyway."""
     if mv_version is None:
         mv_version = int(_read_meta(mv_path)["mv_version"])
     feed = lake.changes(spark, from_v, to_v)
     dirty = feed.select(group_col).distinct()
+    if dirty_count is None:
+        dirty_count = dirty.count()
+    small = dirty_count <= int(dirty_broadcast_threshold)
+    hint = F.broadcast if small else (lambda df: df)
+    if not small:
+        logger.warning(
+            "MV refresh: %s dirty groups exceed the broadcast threshold "
+            "(%s) — using shuffle semi/anti joins for this refresh",
+            dirty_count, dirty_broadcast_threshold,
+        )
     recomputed = agg(
         lake.snapshot(spark, version=to_v).join(
-            F.broadcast(dirty), group_col, "left_semi"
+            hint(dirty), group_col, "left_semi"
         ),
         group_col,
     )
     prev = spark.read.parquet(_data_dir(mv_path, mv_version))
-    kept = prev.join(F.broadcast(dirty), group_col, "left_anti")
+    kept = prev.join(hint(dirty), group_col, "left_anti")
     return kept.unionByName(recomputed)

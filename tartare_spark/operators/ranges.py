@@ -37,8 +37,11 @@ def _floor_div(col, w):
     division then has zero true fraction, so its bounded result scale
     cannot round it, at any long magnitude; pmod's non-negative result
     also gives true floor (not truncate-toward-zero) for negative bounds.
+    The subtraction itself runs in decimal(38,0): within w of Long.MIN
+    the long-domain ``col - pmod`` would underflow (wrap, or error under
+    ANSI) before the cast could widen it.
     """
-    exact = (col - F.pmod(col, w)).cast("decimal(38,0)")
+    exact = col.cast("decimal(38,0)") - F.pmod(col, w).cast("decimal(38,0)")
     return (exact / w.cast("decimal(38,0)")).cast("long")
 
 

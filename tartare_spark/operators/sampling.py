@@ -134,10 +134,12 @@ def pack_sequences(
     arithmetic is exact long DIV/MOD, never double division (large
     offsets beyond 2^53 stay exact).
 
-    Weights must be ≥ 1 (clamp with greatest(w, 1) — an empty document
-    still occupies one slot, keeping offsets strictly increasing)."""
+    Weights are clamped to ≥ 1 in here (an empty document still
+    occupies one slot, keeping offsets strictly increasing — a 0 or
+    negative weight would otherwise silently yield seq_last < seq_first
+    and non-increasing offsets)."""
     wcol = F.col(weight_col) if isinstance(weight_col, str) else weight_col
-    wcol = wcol.cast("long")
+    wcol = F.greatest(wcol.cast("long"), F.lit(1).cast("long"))
     out = df.withColumn("_w", wcol).withColumn(
         "_shard", hash_shard(id_col, num_shards, seed)
     )

@@ -239,13 +239,30 @@ def kmeans_centroids(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_kv"),
     )
     h = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("_kid").cast("string")))
-    sample = v.withColumn("_h", h).orderBy(F.asc("_h"), F.asc("_kid")).limit(n_cells)
-    # row_number window runs over the already-limited n_cells rows only
-    cents = sample.select(
-        (F.row_number().over(Window.orderBy(F.asc("_h"), F.asc("_kid"))) - 1)
-        .cast("int")
-        .alias("cell"),
-        F.col("_kv").alias("c_vec"),
+    # Seed-cell ids are assigned DRIVER-side from the collected sample
+    # (<= n_cells rows — bounded, scale-independent; collect order
+    # follows the orderBy, so cell i is exactly the i-th smallest
+    # (_h, _kid), same as the row_number the round-3 code computed).
+    # This replaces a partition-less window over the limited sample,
+    # which was bounded and safe but spammed "No Partition Defined for
+    # Window" on every sim3/sim2b run (round-4 verdict nit 2) — and a
+    # foldable partitionBy(lit) key gets constant-folded back to the
+    # empty spec, so the window form cannot be quieted. Bonus: the
+    # seeds become a LocalRelation, so Lloyd iterations stop re-running
+    # the sampling subplan.
+    sample_rows = (
+        v.withColumn("_h", h)
+        .orderBy(F.asc("_h"), F.asc("_kid"))
+        .limit(n_cells)
+        .select("_kv")
+        .collect()
+    )
+    cents = vectors.sparkSession.createDataFrame(
+        [(i, [float(x) for x in r["_kv"]]) for i, r in enumerate(sample_rows)],
+        StructType([
+            StructField("cell", IntegerType()),
+            StructField("c_vec", ArrayType(DoubleType())),
+        ]),
     )
     for _ in range(n_iters):
         assigned = v.join(_assign_cells(v, cents, "_kv", ["_kid"], 1), "_kid")

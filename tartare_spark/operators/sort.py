@@ -33,6 +33,7 @@ def global_rank(
     bucket: Column,
     order_cols: list[str],
     rank_col: str = "rank",
+    broadcast_threshold: int = 4096,
 ) -> DataFrame:
     """Exact global 1-based rank over ``order_cols``, computed with one
     bucket-partitioned window plus a driver-side prefix sum.
@@ -44,26 +45,44 @@ def global_rank(
     tiebreak column) or ranks of ties are nondeterministic.
 
     Driver cost: one row per non-empty bucket — pick a bucket width
-    giving 10^2–10^5 buckets at your scale. The offsets become a
-    ``create_map`` literal (fine at that size; for >~10^4 buckets swap
-    to a broadcast join, same trade as the manifest fence's two forms).
-    """
+    giving 10^2–10^5 buckets at your scale. Up to
+    ``broadcast_threshold`` buckets the offsets become a ``create_map``
+    literal (a pure codegen'd lookup, zero extra plan nodes on the data
+    side); past it a literal map is a plan-size/codegen hazard (tens of
+    thousands of expression nodes), so the prefix-summed offsets are
+    shipped as a tiny BROADCAST-joined DataFrame instead — same trade
+    as the manifest fence's two forms (operators/apply.py), no shuffle
+    of the data side either way. Both forms produce identical ranks
+    (tests/test_operators.py::test_global_rank_broadcast_form)."""
     b = df.withColumn("_rb", bucket.cast("long"))
     counts = {
         int(r["_rb"]): int(r["n"])
         for r in b.groupBy("_rb").agg(F.count("*").alias("n")).collect()
     }
-    entries: list = []
+    offs: list[tuple[int, int]] = []
     acc = 0
     for k in sorted(counts):
-        entries += [F.lit(k), F.lit(acc)]
+        offs.append((k, acc))
         acc += counts[k]
-    offsets = F.create_map(*entries) if entries else F.create_map()
     w = Window.partitionBy("_rb").orderBy(*[F.col(c) for c in order_cols])
-    return (
-        b.withColumn(
-            rank_col,
-            (F.row_number().over(w) + offsets[F.col("_rb")]).cast("long"),
+    if len(offs) <= int(broadcast_threshold):
+        entries: list = []
+        for k, off in offs:
+            entries += [F.lit(k), F.lit(off)]
+        offsets = F.create_map(*entries) if entries else F.create_map()
+        return (
+            b.withColumn(
+                rank_col,
+                (F.row_number().over(w) + offsets[F.col("_rb")]).cast("long"),
+            )
+            .drop("_rb")
         )
-        .drop("_rb")
+    off_df = df.sparkSession.createDataFrame(offs, "_rb long, _rk_off long")
+    return (
+        b.join(F.broadcast(off_df), on="_rb", how="inner")
+        .withColumn(
+            rank_col,
+            (F.row_number().over(w) + F.col("_rk_off")).cast("long"),
+        )
+        .drop("_rb", "_rk_off")
     )

@@ -647,6 +647,13 @@ def test_interval_bucket_arithmetic_exact_at_long_extremes(spark):
         0,
         89,
         90,
+        # ADVICE r4: within w of Long.MIN the old long-domain
+        # `col - pmod` underflowed before the decimal cast could widen
+        # it; the subtraction now runs in decimal(38,0)
+        -(2**63),
+        -(2**63) + 1,
+        -(2**63) + 89,
+        2**63 - 1,
     ]
     w = 90
     df = spark.createDataFrame([(v,) for v in vals], "v LONG")
@@ -1438,3 +1445,185 @@ def test_global_rank_exact_and_partitioned(spark):
         ).collect()
     }
     assert {r["doc_id"]: r["rank"] for r in r2.collect()} == n2
+
+
+def test_global_rank_broadcast_form(spark):
+    """Round-4 verdict item 3: past ``broadcast_threshold`` buckets the
+    rank offsets ship as a BROADCAST-joined DataFrame instead of a
+    create_map literal (the plan-size/codegen hazard at fine-bucketed
+    100 TB exports). Both forms produce identical ranks; the wide form's
+    plan has a BroadcastHashJoin and still no SinglePartition window."""
+    from pyspark.sql import Window
+
+    from tartare_spark.operators.sort import global_rank
+
+    # equivalence of the two forms on the same input (threshold=0
+    # forces the broadcast form even at 500 docs)
+    docs = _docs(spark)
+    bucket = F.floor(F.col("n_chars") / 50)
+    lit_form = global_rank(docs, bucket, ["n_chars", "doc_id"])
+    bc_form = global_rank(
+        docs, bucket, ["n_chars", "doc_id"], broadcast_threshold=0
+    )
+    lit_ranks = {r["doc_id"]: r["rank"] for r in lit_form.collect()}
+    bc_ranks = {r["doc_id"]: r["rank"] for r in bc_form.collect()}
+    assert lit_ranks == bc_ranks and len(bc_ranks) == 500
+
+    # 20k buckets under the DEFAULT threshold: broadcast form kicks in
+    wide = spark.range(40_000).select(
+        F.col("id").cast("long").alias("v")
+    )
+    ranked = global_rank(wide, F.floor(F.col("v") / 2), ["v"])
+    plan = (
+        ranked._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    got = {r["v"]: r["rank"] for r in ranked.collect()}
+    assert all(got[v] == v + 1 for v in (0, 1, 39_999, 20_000))
+    assert len(got) == 40_000
+
+
+def test_mv_dirty_broadcast_guard(spark, tmp_path):
+    """Round-4 verdict item 4: a majority-dirty feed (bulk backfill /
+    long refresh gap) must NOT broadcast the dirty-key set — past the
+    threshold both joins fall back to shuffle semi/anti joins, and the
+    refresh still equals a full rebuild."""
+    import datetime
+
+    from tartare_spark.lake.schema import CHANGE_EVENT_SCHEMA
+    from tartare_spark.lake.table import LakeTable
+    from tartare_spark.operators.apply import apply_batch
+    from tartare_spark.operators.mv import build_mv, refresh_mv, refresh_plan
+
+    ts = datetime.datetime(2026, 1, 1)
+    ev = spark.createDataFrame(
+        [(i, "update", f"r{i % 40}", f"p{i}", f"c{i}", None, "x" * 10, ts)
+         for i in range(1, 101)],
+        CHANGE_EVENT_SCHEMA,
+    )
+    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=4)
+    apply_batch(spark, lake, ev.filter("lsn <= 50"), batch_id=0)
+    build_mv(spark, lake, str(tmp_path / "mv"))
+    apply_batch(spark, lake, ev.filter("lsn > 50"), batch_id=1)
+
+    # past the threshold the refresh must not FORCE a broadcast — with
+    # the size-based auto-broadcast off (as it would be for a genuinely
+    # huge dirty set), no BroadcastHashJoin remains in the plan
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = refresh_plan(
+            spark, lake, str(tmp_path / "mv"), 1, lake.current_version(),
+            dirty_broadcast_threshold=0,
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+    got = refresh_mv(
+        spark, lake, str(tmp_path / "mv"), dirty_broadcast_threshold=0
+    )
+    full = build_mv(spark, lake, str(tmp_path / "mv_full"))
+    assert got.exceptAll(full).count() == 0
+    assert full.exceptAll(got).count() == 0
+
+
+def test_mv_refresh_falls_back_on_expired_feed(spark, tmp_path):
+    """ADVICE r4: when expire_snapshots has outrun the MV's recorded
+    lake version, the incremental feed is gone — refresh_mv must fall
+    back to a FULL rebuild at the current version (monotone MV version,
+    correct contents) instead of dying."""
+    import datetime
+
+    from tartare_spark.lake.schema import CHANGE_EVENT_SCHEMA
+    from tartare_spark.lake.table import LakeTable
+    from tartare_spark.operators.apply import apply_batch
+    from tartare_spark.operators.mv import (
+        _read_meta, build_mv, refresh_mv,
+    )
+
+    ts = datetime.datetime(2026, 1, 1)
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [(i, "update", f"r{i % 5}", f"p{i}", f"c{i}", None, "y" * 8, ts)
+             for i in range(lo, hi)],
+            CHANGE_EVENT_SCHEMA,
+        )
+
+    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=4)
+    apply_batch(spark, lake, batch(1, 20), batch_id=0)
+    build_mv(spark, lake, str(tmp_path / "mv"))
+    mv_meta_before = _read_meta(str(tmp_path / "mv"))
+    for b in range(1, 5):
+        apply_batch(spark, lake, batch(20 * b, 20 * b + 20), batch_id=b)
+    lake.expire_snapshots(keep_last=2)
+    assert lake.oldest_version() > mv_meta_before["lake_version"]
+
+    got = refresh_mv(spark, lake, str(tmp_path / "mv"))
+    full = build_mv(spark, lake, str(tmp_path / "mv_full"))
+    assert got.exceptAll(full).count() == 0
+    assert full.exceptAll(got).count() == 0
+    meta = _read_meta(str(tmp_path / "mv"))
+    assert meta["mv_version"] == mv_meta_before["mv_version"] + 1
+    assert meta["lake_version"] == lake.current_version()
+
+
+def test_pack_sequences_clamps_nonpositive_weights(spark):
+    """ADVICE r4: a 0/negative weight is clamped to 1 inside the
+    operator, keeping offsets strictly increasing and n_seqs >= 1."""
+    from tartare_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 10), (4, 0)], "id LONG, w LONG"
+    )
+    out = sorted(
+        pack_sequences(df, "id", "w", capacity=8, num_shards=1).collect(),
+        key=lambda r: r["id"],
+    )
+    assert [r["weight"] for r in out] == [1, 1, 10, 1]
+    offs = [r["off_begin"] for r in out]
+    assert offs == sorted(set(offs)), offs  # strictly increasing
+    assert all(r["n_seqs"] >= 1 for r in out)
+
+
+def test_bucketed_publish_registration_survives_session(spark, tmp_path):
+    """Round-4 verdict item 6: the _bucket_spec.json sidecar +
+    register_published recover the bucket contract after a catalog
+    wipe (session restart): the re-registered tables join with ZERO
+    exchange and identical rows."""
+    from tartare_spark.operators.publish import (
+        publish_bucketed, read_published, register_published,
+    )
+
+    docs = _docs(spark)
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumnRenamed(
+        "vec_id", "doc_id"
+    )
+    publish_bucketed(docs, "t_docs_reg", str(tmp_path / "d"), ["doc_id"], 8,
+                     sort_cols=["doc_id"])
+    publish_bucketed(emb, "t_emb_reg", str(tmp_path / "e"), ["doc_id"], 8,
+                     sort_cols=["doc_id"])
+    # simulate a fresh session: the catalog forgets the registration
+    spark.sql("DROP TABLE t_docs_reg")
+    spark.sql("DROP TABLE t_emb_reg")
+    register_published(spark, str(tmp_path / "d"))
+    register_published(spark, str(tmp_path / "e"))
+    a = read_published(spark, "t_docs_reg")
+    b = read_published(spark, "t_emb_reg")
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = a.join(b, "doc_id").select("doc_id", "lang", "label")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        got = {tuple(r) for r in j.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    plain = {
+        tuple(r)
+        for r in docs.join(emb, "doc_id").select("doc_id", "lang", "label").collect()
+    }
+    assert got == plain and got

@@ -1120,3 +1120,43 @@ def test_half_created_branch_does_not_wedge_maintenance(spark, unit_events, tmp_
     br = lake.create_branch("held")
     assert lake.branches()["held"]["fork_version"] == lake.current_version()
     lake.drop_branch("held")
+
+
+def test_claim_abandoned_empty_fallback_recovered(spark, unit_events, tmp_path):
+    """ADVICE r4: the no-hardlink O_EXCL fallback has a create->replace
+    window where the claimed manifest name is an EMPTY file. A writer
+    crashing there must not wedge the table: a linked claim can never
+    be empty, so a STALE empty claim is definitively abandoned and the
+    next commit takes it over instead of raising 'storage corruption'.
+    A fresh (possibly live-writer) empty claim gets a grace period
+    first — the commit still succeeds once the claim goes stale."""
+    import os
+    import time as _time
+
+    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=8)
+    replay_batches(spark, lake, unit_events, num_chunks=2)
+    v = lake.current_version()
+
+    # abandoned empty claim (mtime pushed into the past = stale)
+    claim = str(tmp_path / "lake" / "_manifests" / f"v{v + 1:012d}.json")
+    open(claim, "w").close()
+    past = _time.time() - 30
+    os.utime(claim, (past, past))
+    res = apply_batch(
+        spark, lake, unit_events, batch_id=lake.last_batch_id() + 1
+    )
+    assert not res["skipped"]
+    assert lake.current_version() == v + 1
+    # the takeover published OUR manifest (complete JSON, our batch_id)
+    assert lake.manifest(v + 1)["batch_id"] == res["batch_id"]
+
+    # a FRESH empty claim: brief grace, then recovered the same way
+    # (the creator never published content, so nothing can be lost)
+    v2 = lake.current_version()
+    claim2 = str(tmp_path / "lake" / "_manifests" / f"v{v2 + 1:012d}.json")
+    open(claim2, "w").close()
+    res2 = apply_batch(
+        spark, lake, unit_events, batch_id=lake.last_batch_id() + 1
+    )
+    assert not res2["skipped"]
+    assert lake.current_version() == v2 + 1
