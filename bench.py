@@ -29,6 +29,29 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # dedicated scaling bench uses 10x this (see scripts/scaling_bench.py)
 N_EVENTS = int(os.environ.get("BENCH_EVENTS", "1000000"))
 
+def _mem_probe() -> dict:
+    """Host memory-bus probe (scripts/host_probe.py kernels): single-
+    stream wall and 8-way parallel wall, best-of-2. This VM's documented
+    failure mode is hypervisor-neighbor memory-bus contention that slows
+    IDENTICAL binaries 2-2.5x (BENCH/BASELINE.md host-probe history);
+    embedding the probe in the bench artifact makes a collapsed window
+    VISIBLE in the JSON instead of indistinguishable from a plan
+    regression (round-4 verdict item 1)."""
+    from scripts.host_probe import measure_mem
+
+    w1 = measure_mem(1, trials=2)
+    w8 = measure_mem(8, trials=2)
+    return {"w1": round(w1, 3), "w8": round(w8, 3)}
+
+
+def _collapsed(probe: dict) -> bool:
+    # quiet-window reference on this VM: w1 ~ 0.5 s, w8 ~ 0.9-1.1 s
+    # (measured round 5); thresholds sized to trip only on a REAL
+    # collapse (r4's bad window degraded identical runs 2-2.5x; the
+    # contemporaneous mem ceiling of 0.117 implies w8 >> 4 s)
+    return probe["w1"] > 1.2 or probe["w8"] > 4.0
+
+
 HEADLINE_QUERIES = [
     "cdc_apply_current_state",
     "j2_equi_join_broadcast",
@@ -124,11 +147,46 @@ def main() -> None:
         # back-to-back runs — BENCH/BASELINE.md host probe) hits both
         # shapes equally; the reported number is the MEDIAN, all draws
         # disclosed in cdc_replay_runs_sec.
-        runs_multi: list[float] = []
-        runs_big: list[float] = []
-        for i in range(3):
-            runs_big.append(_timed_replay(f"replay_b{i}", None))
-            runs_multi.append(_timed_replay(f"replay_m{i}", 17))
+        #
+        # Round-5 window-proofing (VERDICT_r04 item 1): the r4 driver
+        # window was COLLAPSED — all 3 interleaved draws ran 2-2.5x
+        # slower than the same binary solo, and a median over one bad
+        # window dutifully reports the bad window. Now: (a) gate the
+        # draws on the host probe (sleep-and-retry up to 2x60 s while
+        # collapsed); (b) probe again AFTER the draws; (c) if either
+        # side saw a collapse, ONE bounded re-draw after a 60 s backoff,
+        # reporting the faster set. Every probe and every draw is
+        # disclosed in the JSON.
+        probes_pre: list[dict] = [_mem_probe()]
+        for _ in range(2):
+            if not _collapsed(probes_pre[-1]):
+                break
+            time.sleep(60)
+            probes_pre.append(_mem_probe())
+
+        def _draw_set(prefix: str) -> tuple[list[float], list[float]]:
+            big: list[float] = []
+            multi: list[float] = []
+            for i in range(3):
+                big.append(_timed_replay(f"{prefix}_b{i}", None))
+                multi.append(_timed_replay(f"{prefix}_m{i}", 17))
+            return big, multi
+
+        runs_big, runs_multi = _draw_set("replay")
+        probe_post = _mem_probe()
+        window_retried = False
+        runs_big_retry: list[float] = []
+        runs_multi_retry: list[float] = []
+        if _collapsed(probes_pre[-1]) or _collapsed(probe_post):
+            window_retried = True
+            time.sleep(60)
+            probes_pre.append(_mem_probe())
+            runs_big_retry, runs_multi_retry = _draw_set("replay_r")
+            probe_post = _mem_probe()
+            if sorted(runs_big_retry)[1] < sorted(runs_big)[1]:
+                runs_big, runs_big_retry = runs_big_retry, runs_big
+            if sorted(runs_multi_retry)[1] < sorted(runs_multi)[1]:
+                runs_multi, runs_multi_retry = runs_multi_retry, runs_multi
         med_big = sorted(runs_big)[1]
         med_multi = sorted(runs_multi)[1]
         queries["cdc_stream_replay_bigbatch"] = med_big
@@ -333,7 +391,24 @@ def main() -> None:
                 "cdc_events_per_sec": events_per_sec_big,
                 "cdc_events_per_sec_bigbatch": events_per_sec_big,
                 "cdc_events_per_sec_multi": events_per_sec_multi,
-                "cdc_replay_runs_sec": {"multi": runs_multi, "bigbatch": runs_big},
+                "cdc_replay_runs_sec": {
+                    "multi": runs_multi,
+                    "bigbatch": runs_big,
+                    **(
+                        {"multi_unused_set": runs_multi_retry,
+                         "bigbatch_unused_set": runs_big_retry}
+                        if window_retried else {}
+                    ),
+                },
+                # host memory-bus probes bracketing the replay draws
+                # (w1/w8 = 1-way/8-way mem-stream walls, seconds; quiet
+                # window on this VM: ~0.5 / ~1.0 — see BENCH/BASELINE.md)
+                "host_mem_probe_pre": probes_pre,
+                "host_mem_probe_post": probe_post,
+                "host_window_collapsed": (
+                    _collapsed(probes_pre[-1]) or _collapsed(probe_post)
+                ),
+                "host_window_retried": window_retried,
                 "cdc_events": n_written,
                 "cdc_bootstrap_rows_per_sec": bootstrap_rows_per_sec,
                 "cdc_bootstrap_rows": bootstrap_rows,

@@ -292,6 +292,20 @@ def cmd_branch(args) -> int:
     elif args.action == "fast-forward":
         v = lake.fast_forward(args.name)
         print(json.dumps({"fast_forwarded": args.name, "main_version": v}))
+    elif args.action == "rebase":
+        # merge path for a DIVERGED main (fast-forward refuses): re-apply
+        # the branch's staged commits onto main through the normal apply
+        # path, LWW-by-LSN conflict resolution (operators/apply.py)
+        from tartare_spark.operators.apply import rebase_branch
+
+        spark = _spark(args)
+        recs = rebase_branch(spark, lake, args.name)
+        print(json.dumps({
+            "rebased": args.name,
+            "batches_applied": len(recs),
+            "rows": sum(r.get("rows") or 0 for r in recs),
+            "main_version": lake.current_version(),
+        }))
     else:
         print(json.dumps(lake.branches()))
     return 0
@@ -429,9 +443,11 @@ def build_parser() -> argparse.ArgumentParser:
     bp = sub.add_parser(
         "branch",
         help="writable refs (write-audit-publish): create / list / "
-        "fast-forward / drop",
+        "fast-forward / rebase (merge onto a diverged main) / drop",
     )
-    bp.add_argument("action", choices=["create", "list", "fast-forward", "drop"])
+    bp.add_argument(
+        "action", choices=["create", "list", "fast-forward", "rebase", "drop"]
+    )
     bp.add_argument("--lake", required=True)
     bp.add_argument("--name", default=None)
     bp.add_argument("--version", type=int, default=None)

@@ -178,6 +178,49 @@ def s12_branch_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@demo("s15_branch_rebase", _CDC_SQL)
+def s15_branch_rebase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch merge onto a DIVERGED main (round 5; Iceberg refuses this
+    with fast-forward — rebase_branch automates 're-fork and
+    re-apply'): the first third of the log lands on main, the second
+    third is staged on a branch, the last third advances MAIN while the
+    branch is still open (divergence — fast_forward would refuse), then
+    the branch is rebased: each staged commit re-applied onto main
+    through the normal apply path with row-level LWW-by-LSN conflict
+    resolution. Converged state must equal a straight replay of the
+    whole log — the flagship oracle."""
+    import shutil
+
+    from tartare_spark.lake.table import LakeTable
+    from tartare_spark.operators.apply import rebase_branch, replay_batches
+
+    ch = _events_as_changelog(spark, sf_dir)
+    root = os.path.join(
+        tempfile.gettempdir(), f"tartare_demo_rebase_{os.getpid()}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    lake = LakeTable.create(os.path.join(root, "lake"), num_buckets=16)
+    bounds = ch.agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi")).collect()[0]
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    t1, t2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    replay_batches(spark, lake, ch.filter(F.col("lsn") <= t1), num_chunks=2)
+    br = lake.create_branch("feature")
+    replay_batches(
+        spark, br,
+        ch.filter((F.col("lsn") > t1) & (F.col("lsn") <= t2)),
+        num_chunks=2, start_batch_id=2,
+    )
+    # main diverges while the branch is open
+    replay_batches(
+        spark, lake, ch.filter(F.col("lsn") > t2), num_chunks=2,
+        start_batch_id=2,
+    )
+    rebase_branch(spark, lake, "feature", drop_source=True)
+    return lake.snapshot(spark).select(
+        "repo", "path", "commit", "content", "_lsn", "_content_sha"
+    )
+
+
 @demo("s13_bootstrap_tail", _CDC_SQL)
 def s13_bootstrap_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The standard CDC deployment shape: consistent snapshot → binlog

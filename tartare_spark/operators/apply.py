@@ -308,13 +308,15 @@ def apply_batch(
     elif lsn_fence is not None:
         raise ValueError(f"unknown lsn_fence {lsn_fence!r} (use 'manifest')")
 
-    expect_stats: dict | None = None
+    expect_stats = None
     if expectations:
         # data-quality gate (operators/expect.py): enforced AFTER the
         # fence (a redelivered stale row should be fenced, not counted
         # as a quality violation) and BEFORE staging, so a violating
         # event can never reach table state. fail-action raises here —
-        # nothing below has written yet.
+        # nothing below has written yet. For an all-drop config the
+        # returned stats are DEFERRED (observe() metrics riding the
+        # write job) — resolved below once the batch's action has run.
         from tartare_spark.operators.expect import enforce_expectations
 
         ev, expect_stats = enforce_expectations(
@@ -345,10 +347,13 @@ def apply_batch(
             pre_partitioned=True,
         )
         # the delta write was the batch's action — the fence detector's
-        # observe() metrics are collected now; evaluate post-write
+        # and drop-only expectations' observe() metrics are collected
+        # now; evaluate post-write
         fence_stats = _fence_order_stats(
             lake, batch_id, fence_obs, fence_lateness
         )
+        if expect_stats is not None and not isinstance(expect_stats, dict):
+            expect_stats = expect_stats.resolve()
         committed = res is not None and res["keys"] > 0
         n_keys = res["keys"] if res else 0
         touched = res["touched_buckets"] if res else []
@@ -395,12 +400,15 @@ def apply_batch(
                 .collect()
             )
             # the bucket-stats collect materialized the persisted staged
-            # batch (a full pass) — the fence detector's observe()
-            # metrics are collected now; evaluate before the early
-            # return so an all-fenced batch still records the anomaly
+            # batch (a full pass) — the fence detector's and drop-only
+            # expectations' observe() metrics are collected now;
+            # evaluate before the early return so an all-fenced batch
+            # still records the anomaly / counts
             fence_stats = _fence_order_stats(
                 lake, batch_id, fence_obs, fence_lateness
             )
+            if expect_stats is not None and not isinstance(expect_stats, dict):
+                expect_stats = expect_stats.resolve()
             if not bstats:
                 rec = {"batch_id": batch_id, "skipped": False, "rows": 0,
                        "empty": True, "seconds": time.time() - t0}
@@ -638,3 +646,66 @@ def bootstrap_load(
     }
     lake.append_metrics(rec)
     return rec
+
+
+def rebase_branch(
+    spark: SparkSession,
+    lake: LakeTable,
+    name: str,
+    registry=None,
+    drop_source: bool = False,
+    **apply_kwargs,
+) -> list[dict]:
+    """Publish a branch whose fork point main has ADVANCED past — the
+    merge path ``fast_forward`` deliberately refuses (Iceberg parity:
+    FF requires an unchanged main). This automates the documented
+    "re-fork and re-apply" recipe: each staged branch commit's logical
+    change set (the branch's incremental feed since its fork image,
+    ``changes(0, head)``) is re-expressed as change events
+    (:func:`feed_as_changelog`) and applied onto main as a NEW batch
+    through the normal apply path — one main batch per staged commit,
+    in staged order, so commit boundaries and the change feed survive
+    the rebase.
+
+    Conflict semantics are the engine's own: row-level LWW by LSN. A
+    key the branch staged AND main changed after the fork resolves to
+    the higher LSN (the loser's row still appears in the feed and is
+    discarded by the merge — the same at-least-once discipline as
+    redelivery); branch deletes carry their tombstone LSNs, so they
+    win/lose by the same rule. This is the only merge that needs no
+    user arbitration, for exactly the reason the LWW lake converges
+    under redelivery.
+
+    Cost: O(staged rows) read (the branch feed is delta-file/sidecar
+    pruned — main is never diffed) + the normal apply cost per staged
+    commit. Driver work: one ≤num-staged-commits collect of version
+    ids. Same caveat as ``fast_forward``: do not compact a MOR branch
+    first (the fold moves staged rows out of the incremental feed).
+
+    When main has NOT advanced, prefer ``fast_forward`` — it publishes
+    by reference without rewriting any data. Returns the per-batch
+    metrics records; ``drop_source=True`` drops the branch after a
+    clean rebase."""
+    br = lake.branch(name)
+    head = br.current_version()
+    recs: list[dict] = []
+    if head > 0:
+        feed = br.changes(spark, 0, head)
+        versions = sorted(
+            int(r["_commit_version"])
+            for r in feed.select("_commit_version").distinct().collect()
+        )
+        next_id = lake.last_batch_id() + 1
+        for i, v in enumerate(versions):
+            ev = feed_as_changelog(
+                feed.filter(F.col("_commit_version") == v)
+            )
+            recs.append(
+                apply_batch(
+                    spark, lake, ev, batch_id=next_id + i,
+                    registry=registry, **apply_kwargs,
+                )
+            )
+    if drop_source:
+        lake.drop_branch(name)
+    return recs

@@ -86,18 +86,81 @@ def tag_violations(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     return df.withColumn("_violations", viol)
 
 
+class DeferredExpectationStats:
+    """Drop-only expectation counts, collected by observe() DURING the
+    batch's own write job instead of a pre-write aggregate — the counts
+    are purely advisory for drop-action expectations (the rows are
+    excluded by an inline codegen'd filter either way), so nothing
+    needs to block before the write. ``resolve()`` is called by
+    ``apply_batch`` after the batch's first full-pass action; if AQE's
+    empty-relation propagation swallowed the metrics row (an all-
+    filtered batch), it falls back to one explicit agg on the tagged
+    lineage — the same rare-path trade as the fence detector."""
+
+    def __init__(self, obs, tagged: DataFrame, expectations):
+        self._obs = obs
+        self._tagged = tagged
+        self._expectations = expectations
+
+    def _agg_exprs(self):
+        return [
+            F.sum((F.size("_violations") > 0).cast("long")).alias("_dirty"),
+            *[
+                F.sum(
+                    F.array_contains("_violations", e.name).cast("long")
+                ).alias(e.name)
+                for e in self._expectations
+            ],
+        ]
+
+    def resolve(self) -> dict:
+        try:
+            row = dict(self._obs.get)
+        except Exception:
+            row = {}
+        if "_dirty" not in row:
+            row = self._tagged.agg(*self._agg_exprs()).collect()[0].asDict()
+        counts = {
+            e.name: int(row[e.name] or 0)
+            for e in self._expectations
+            if row.get(e.name)
+        }
+        return {
+            "expectations_failed": counts,
+            "rows_excluded": int(row["_dirty"] or 0),
+            "rows_quarantined": 0,
+        }
+
+
 def enforce_expectations(
     lake,
     events: DataFrame,
     expectations: list[Expectation],
     batch_id: int,
-) -> tuple[DataFrame, dict]:
+) -> tuple[DataFrame, dict | DeferredExpectationStats]:
     """Split a batch against its expectations: returns the CLEAN frame
     (violating rows removed, ``_violations`` dropped) plus a stats dict
     for the batch metrics record. Raises :class:`ExpectationFailedError`
     on any fail-action violation — before any quarantine write, so an
-    aborted batch leaves no partial artifacts."""
+    aborted batch leaves no partial artifacts.
+
+    Cost by action mix: ``fail``/``quarantine`` expectations must know
+    the counts BEFORE anything is written (the abort / the quarantine
+    write depend on them), so those configs pay one aggregate per
+    batch. An all-``drop`` config pays ZERO extra jobs — the filter
+    fuses into the apply plan and the counts ride the write job as
+    observe() metrics (:class:`DeferredExpectationStats`, resolved by
+    ``apply_batch`` post-write; A/B in BENCH/BASELINE.md round-5
+    addenda)."""
     tagged = tag_violations(events, expectations)
+    if all(e.action == "drop" for e in expectations):
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        deferred = DeferredExpectationStats(obs, tagged, expectations)
+        observed = tagged.observe(obs, *deferred._agg_exprs())
+        clean = observed.filter(F.size("_violations") == 0).drop("_violations")
+        return clean, deferred
     # ONE aggregate over the batch yields both the per-expectation
     # violation counts (array_contains sums — no explode, so a row
     # violating several expectations counts once per each) and the

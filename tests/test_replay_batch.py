@@ -1160,3 +1160,129 @@ def test_claim_abandoned_empty_fallback_recovered(spark, unit_events, tmp_path):
     )
     assert not res2["skipped"]
     assert lake.current_version() == v2 + 1
+
+
+def test_expectations_drop_only_deferred_counts(spark, unit_events, tmp_path):
+    """Round-5: an all-drop expectation config takes the ZERO-extra-job
+    path (counts ride the write job via observe(), resolved post-write)
+    — the metrics record still carries exact per-expectation counts and
+    rows_excluded, and the final state equals the referee over the
+    passing subset. Includes an ALL-violating chunk, exercising the
+    AQE-lost-metrics fallback (empty-relation propagation swallows the
+    observe row when every event is filtered)."""
+    import pandas as pd
+
+    from tartare_spark.fixtures import generate_change_events
+    from tartare_spark.operators.expect import Expectation
+    from tartare_spark.oracle import replay_referee
+
+    pred = "op = 'delete' OR length(content) <= 99"
+    exp = [
+        Expectation("min_content_len", pred, action="drop"),
+        Expectation("has_repo", "repo IS NOT NULL", action="drop"),
+    ]
+    lake = LakeTable.create(str(tmp_path / "lake_dd"), num_buckets=8)
+    recs = replay_batches(spark, lake, unit_events, num_chunks=4,
+                          expectations=exp)
+    n_bad = unit_events.filter(f"NOT ({pred})").count()
+    assert n_bad > 0
+    assert sum(r.get("rows_excluded", 0) for r in recs) == n_bad
+    assert sum(
+        r.get("expectations_failed", {}).get("min_content_len", 0)
+        for r in recs
+    ) == n_bad
+    assert all(r.get("rows_quarantined", 0) == 0 for r in recs)
+
+    ev_pd = pd.DataFrame(generate_change_events(UNIT))
+    keep = (ev_pd["op"] == "delete") | (
+        ev_pd["content"].fillna("").str.len() <= 99
+    )
+    expected = replay_referee(ev_pd[keep], None)
+    exp_df = spark.createDataFrame(expected)
+    eng = lake.snapshot(spark).select(*expected.columns.tolist())
+    assert eng.exceptAll(exp_df).count() == 0
+    assert exp_df.exceptAll(eng).count() == 0
+
+    # all-violating batch: every row dropped, counts still exact (the
+    # observe row is lost to AQE's empty-relation rewrite; the deferred
+    # resolver falls back to one explicit agg)
+    allbad = unit_events.filter(f"NOT ({pred})")
+    lake2 = LakeTable.create(str(tmp_path / "lake_dd2"), num_buckets=8)
+    rec = apply_batch(spark, lake2, allbad, batch_id=0, expectations=exp)
+    assert rec["rows_excluded"] == n_bad
+    assert rec["expectations_failed"]["min_content_len"] == n_bad
+    assert rec["rows"] == 0
+
+
+def test_rebase_branch_merges_onto_diverged_main(spark, tmp_path):
+    """Round-5 (VERDICT r4 missing #3): rebase_branch automates
+    're-fork and re-apply' for a DIVERGED main. Staged branch commits
+    are re-applied onto main through the normal apply path, one main
+    batch per staged commit, with the engine's row-level LWW-by-LSN
+    conflict resolution — the final state equals a reference lake that
+    applied ALL events (main's + the branch's) directly."""
+    import datetime
+
+    from tartare_spark.lake.schema import CHANGE_EVENT_SCHEMA
+    from tartare_spark.lake.table import ConcurrentCommitError
+    from tartare_spark.operators.apply import rebase_branch
+
+    ts = datetime.datetime(2026, 1, 1)
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [(lsn, op, repo, path, f"c{lsn}", None, content, ts)
+             for lsn, op, repo, path, content in rows],
+            CHANGE_EVENT_SCHEMA,
+        )
+
+    base = ev([(i, "update", "r", f"k{i}", f"v{i}") for i in range(1, 11)])
+    # branch stages two commits: updates k1/k2 + new key k11, then a
+    # delete of k3
+    staged_a = ev([(20, "update", "r", "k1", "branch-k1"),
+                   (21, "update", "r", "k2", "branch-k2"),
+                   (22, "update", "r", "k11", "branch-k11")])
+    staged_b = ev([(30, "delete", "r", "k3", None)])
+    # main diverges meanwhile: k1 at LOWER lsn than the branch's (branch
+    # wins), k2 at HIGHER lsn (main wins), plus a fresh key k12
+    diverge = ev([(15, "update", "r", "k1", "main-k1"),
+                  (25, "update", "r", "k2", "main-k2"),
+                  (16, "update", "r", "k12", "main-k12")])
+
+    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=8)
+    apply_batch(spark, lake, base, batch_id=0)
+    br = lake.create_branch("feat")
+    apply_batch(spark, br, staged_a, batch_id=1)
+    apply_batch(spark, br, staged_b, batch_id=2)
+    apply_batch(spark, lake, diverge, batch_id=1)
+
+    with pytest.raises(ConcurrentCommitError, match="main advanced"):
+        lake.fast_forward("feat")
+
+    recs = rebase_branch(spark, lake, "feat", drop_source=True)
+    assert len(recs) == 2  # one main batch per staged commit
+    assert "feat" not in lake.branches()
+
+    # reference: every event applied directly (LWW converges regardless
+    # of batching)
+    ref = LakeTable.create(str(tmp_path / "ref"), num_buckets=8)
+    for i, b in enumerate([base, diverge, staged_a, staged_b]):
+        apply_batch(spark, ref, b, batch_id=i)
+    got = lake.snapshot(spark)
+    want = ref.snapshot(spark).select(*got.columns)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    state = {r["path"]: r["content"] for r in got.collect()}
+    assert state["k1"] == "branch-k1"      # branch's higher LSN wins
+    assert state["k2"] == "main-k2"        # main's higher LSN wins
+    assert "k3" not in state               # branch delete applied
+    assert state["k11"] == "branch-k11" and state["k12"] == "main-k12"
+
+    # a no-divergence rebase is also correct (though FF is preferred)
+    lake2 = LakeTable.create(str(tmp_path / "lake2"), num_buckets=8)
+    apply_batch(spark, lake2, base, batch_id=0)
+    br2 = lake2.create_branch("feat2")
+    apply_batch(spark, br2, staged_a, batch_id=1)
+    rebase_branch(spark, lake2, "feat2", drop_source=True)
+    s2 = {r["path"]: r["content"] for r in lake2.snapshot(spark).collect()}
+    assert s2["k1"] == "branch-k1" and s2["k11"] == "branch-k11"
