@@ -110,6 +110,21 @@ CHECKS = {
     # global-order form plans a SinglePartition exchange (whole table
     # to one task), which must never appear.
     "o3_global_rank": ["Window", "NOT:SinglePartition"],
+    # Gopher repetition rules: a pure map pass — the text never moves
+    # (the zero-Exchange invariant is asserted exactly in
+    # tests/test_operators.py::test_gopher_repetition_shuffle_free).
+    "tx12_gopher_repetition": ["CODEGEN", "NOT:Exchange"],
+    # Span dedup: shared-span detection is a window over fp — no join
+    # anywhere (the exactly-two-Exchange invariant is asserted in
+    # test_span_dedup_two_exchanges_no_join).
+    "dd10_span_dedup": ["Window", "NOT:Join"],
+    # SemDeDup: the pair comparison is an equi-join on the cell key —
+    # never a true cartesian (the centroid broadcast NLJ against
+    # <=n_cells rows is the intended assignment plan, as in sim3).
+    "sim4_semantic_dedup": [
+        "ANY:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+        "NOT:CartesianProduct",
+    ],
 }
 
 

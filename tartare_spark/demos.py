@@ -2551,3 +2551,133 @@ def s11_cdc_envelope_source(spark, sf_dir):
         F.sum(F.length("content")).alias("content_bytes"),
         F.min("commit").alias("first_commit"),
     )
+
+
+# ======================================================================
+# Round-5 training-data additions: Gopher repetition rules (tx12),
+# cross-doc span dedup (dd10), SemDeDup semantic dedup (sim4)
+# ======================================================================
+_TX12_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+  FROM documents
+), g AS (
+  SELECT doc_id, tk,
+         CAST(len(tk) AS BIGINT) AS n_tok,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(tk, x -> CAST(len(x) AS BIGINT))), (a, b) -> a + b) AS chars,
+         CASE WHEN len(tk) >= 2
+              THEN [tk[i] || ' ' || tk[i + 1] for i in range(1, len(tk))]
+              ELSE [] END AS grams
+  FROM t
+), topg AS (
+  SELECT doc_id, CAST(max(c) AS BIGINT) AS top_c FROM (
+    SELECT doc_id, gram, count(*) AS c
+    FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+    GROUP BY doc_id, gram)
+  GROUP BY doc_id
+), s AS (
+  SELECT g.doc_id, g.n_tok,
+         round(g.chars / g.n_tok, 4) AS mean_word_len,
+         round((len(g.grams) - len(list_distinct(g.grams)))
+               / greatest(len(g.grams), 1)::DOUBLE, 6) AS dup_2gram_frac,
+         round(COALESCE(topg.top_c, 0) / greatest(len(g.grams), 1)::DOUBLE, 6)
+           AS top_2gram_frac
+  FROM g LEFT JOIN topg ON g.doc_id = topg.doc_id
+)
+SELECT doc_id, n_tok, mean_word_len, dup_2gram_frac, top_2gram_frac,
+       (n_tok >= 20 AND dup_2gram_frac <= 0.05 AND top_2gram_frac <= 0.08
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS keep
+FROM s
+"""
+
+
+@demo("tx12_gopher_repetition", _TX12_SQL)
+def tx12_gopher_repetition(spark, sf_dir):
+    """Gopher-style repetition/quality rules (duplicate-2-gram fraction,
+    top-2-gram fraction, mean word length) as a shuffle-free map pass —
+    the standard pre-training repetition filter."""
+    from tartare_spark.operators.text import gopher_repetition
+
+    return gopher_repetition(T(spark, sf_dir, "documents"))
+
+
+_DD10_SQL = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(tk, x ->
+           CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
+  FROM t
+), w AS (
+  SELECT doc_id,
+         unnest([list_reduce(
+                   list_prepend(CAST(0 AS BIGINT), hs[i:i+7]),
+                   (acc, x) -> (acc * 131 + x) % 2147483647)
+                 for i in range(1, greatest(len(hs) - 7, 1) + 1, 8)]) AS fp
+  FROM h
+), m AS (
+  SELECT doc_id,
+         (min(doc_id) OVER (PARTITION BY fp)
+          <> max(doc_id) OVER (PARTITION BY fp)) AS cross_doc
+  FROM w
+)
+SELECT doc_id,
+       count(*) AS n_spans,
+       CAST(sum(CASE WHEN cross_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       round(CAST(sum(CASE WHEN cross_doc THEN 1 ELSE 0 END) AS BIGINT)
+             / count(*)::DOUBLE, 6) AS shared_frac,
+       (CAST(sum(CASE WHEN cross_doc THEN 1 ELSE 0 END) AS BIGINT)
+        / count(*)::DOUBLE < 0.5) AS keep
+FROM m GROUP BY doc_id
+"""
+
+
+@demo("dd10_span_dedup", _DD10_SQL)
+def dd10_span_dedup(spark, sf_dir):
+    """Cross-document duplicated-span accounting (RefinedWeb-style
+    exact-substring dedup at 8-token span granularity): two exchanges,
+    the shuffle carries (doc_id, fp) longs only — never text."""
+    from tartare_spark.operators.dedup_docs import span_dedup
+
+    return span_dedup(T(spark, sf_dir, "documents"), window=8)
+
+
+_SIM4_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), vecs AS (
+  SELECT * FROM e
+), {{cents}}, vassign AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT vecs.vec_id, vecs.v, cents.cell,
+           row_number() OVER (PARTITION BY vecs.vec_id
+             ORDER BY round(list_cosine_similarity(vecs.v, cents.cv), 6) DESC,
+                      cents.cell ASC) AS r
+    FROM vecs, cents) WHERE r <= 1
+), pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cos
+  FROM vassign a JOIN vassign b ON a.cell = b.cell AND a.vec_id > b.vec_id
+), hits AS (
+  SELECT a_id, min(b_id) AS dup_of, max(cos) AS max_cos
+  FROM pairs WHERE cos >= 0.3 GROUP BY a_id
+)
+SELECT v.vec_id, v.cell, (h.dup_of IS NULL) AS keep, h.dup_of, h.max_cos
+FROM vassign v LEFT JOIN hits h ON v.vec_id = h.a_id
+"""
+
+
+@demo("sim4_semantic_dedup",
+      _SIM4_SQL.format(cents=_ivf_cents_sql(16, n_iters=2)))
+def sim4_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication: k-means cells bound the
+    pair comparison to sum-over-cells O(c^2) — never all-pairs, never
+    a cartesian product (plan-pinned)."""
+    from tartare_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(T(spark, sf_dir, "embeddings"), threshold=0.3,
+                          n_cells=16, n_iters=2)

@@ -577,3 +577,57 @@ def contamination_report(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_overlap)
     )
+
+
+def span_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    max_shared_frac: float = 0.5,
+) -> DataFrame:
+    """Cross-document duplicated-SPAN accounting (the RefinedWeb /
+    exact-substring-dedup shape at span granularity): cut every doc
+    into non-overlapping ``window``-token spans, fingerprint each span
+    with the rolling hash (text.chunk_fingerprints with
+    stride == window), and mark a span SHARED when the same fingerprint
+    occurs in more than one document. Docs whose shared-span fraction
+    reaches ``max_shared_frac`` are flagged for drop — the standard
+    remedy for boilerplate and mirrored passages that whole-document
+    dedup (dd1/dd2) cannot see.
+
+    Scale shape: the shuffle never carries text — only (doc_id, fp)
+    longs. Cross-doc sharing is decided with min(doc_id) != max(doc_id)
+    over a fingerprint-partitioned window (self-repetition within one
+    doc does NOT count), so the whole operator is TWO exchanges: one on
+    fp, one for the per-doc rollup — no join against a shared-fp list
+    (the join form costs a third shuffle of the span table). At 100 TB
+    the fp exchange is uniform by construction (rolling hash), so no
+    skew handling is needed.
+    """
+    from pyspark.sql import Window
+
+    from .text import chunk_fingerprints
+
+    spans = chunk_fingerprints(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_sd_text")),
+        text_col="_sd_text",
+        window=window,
+        stride=window,
+    )
+    w = Window.partitionBy("fp")
+    marked = spans.select(
+        "doc_id",
+        (F.min("doc_id").over(w) != F.max("doc_id").over(w)).alias("_cross"),
+    )
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("_cross").cast("long")).alias("n_shared"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_spans"), 6).alias("shared_frac"),
+        (F.col("n_shared") / F.col("n_spans") < max_shared_frac).alias("keep"),
+    )

@@ -674,3 +674,71 @@ def lsh_bucketed_topk(
         .filter(F.col("rk") <= k)
         .select(q_id_col, id_col, "cos", "rk")
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.3,
+    n_cells: int = 16,
+    n_iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023 shape):
+    cluster embeddings into ``n_cells`` k-means cells, compare pairs
+    ONLY within a cell, and flag every vector that has a same-cell
+    partner with a smaller id at cosine >= ``threshold`` (greedy
+    keep-the-smallest-id, so exactly one survivor per similarity
+    clique edge chain within a cell).
+
+    Output: (vec_id, cell, keep, dup_of, max_cos) — ``dup_of`` is the
+    smallest qualifying partner, ``max_cos`` the strongest similarity
+    seen; both NULL for keepers.
+
+    Scale shape: the all-pairs O(n^2) comparison is replaced by
+    sum-over-cells O(c^2): the tiny centroid table is broadcast for
+    assignment (one map-side pass), then the self-join runs on the
+    cell key — a plain shuffled equi-join, never a cartesian product
+    (plan-pinned in tests). n_cells grows with the corpus so the
+    per-cell population (and thus per-task pair count) stays bounded;
+    a production run would add a cell-size cap + re-split of runaway
+    cells, exactly like IVF imbalance handling. Cosines are rounded to
+    6dp before thresholding so a float ulp cannot flip a verdict
+    cross-engine (same rule as cell assignment).
+    """
+    cents = _centroids(vectors, n_cells, id_col, vec_col, n_iters=n_iters, seed=seed)
+    v = vectors.select(
+        F.col(id_col).alias("_sid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_sv"),
+    )
+    assigned = v.join(_assign_cells(v, cents, "_sv", ["_sid"], 1), "_sid")
+    a = assigned.select(
+        F.col("_sid").alias("a_id"), F.col("_sv").alias("a_v"), "cell"
+    )
+    b = assigned.select(
+        F.col("_sid").alias("b_id"), F.col("_sv").alias("b_v"), "cell"
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("a_id") > F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("a_v"), F.col("b_v")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+    dups = pairs.groupBy("a_id").agg(
+        F.min("b_id").alias("dup_of"), F.max("cos").alias("max_cos")
+    )
+    return (
+        assigned.join(dups, assigned["_sid"] == dups["a_id"], "left")
+        .select(
+            F.col("_sid").alias(id_col),
+            "cell",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+            "max_cos",
+        )
+    )

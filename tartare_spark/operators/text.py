@@ -344,3 +344,94 @@ def document_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fp"),
     )
+
+
+def gopher_repetition(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_2gram_frac: float = 0.05,
+    max_top_2gram_frac: float = 0.08,
+    min_tokens: int = 20,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+) -> DataFrame:
+    """Gopher-style repetition / quality signals per document (the Rae
+    et al. 2021 repetition rules, re-expressed as pure row functions):
+    duplicate-2-gram fraction, top-2-gram fraction, mean word length,
+    token count, and the resulting keep/drop decision.
+
+    Everything is a per-row array expression (split -> 2-gram build ->
+    array_distinct / sorted-run fold), so the operator is codegen'd,
+    shuffle-free, and scales embarrassingly: at 100 TB it is a map-only
+    pass whose output is five scalars per doc — the text itself never
+    moves. The top-gram count folds over the SORTED gram array with a
+    (prev, run, best) struct accumulator: O(g log g) per doc instead of
+    the O(g^2) re-scan of counting each distinct gram against the array.
+    The token and gram arrays are materialized in their own projections
+    (codegen re-evaluates non-materialized array expressions once per
+    reference — SURVEY §2 F-row notes).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), _TOKEN_SPLIT).alias("_t"),
+    )
+    t = F.col("_t")
+    grams_expr = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat(
+                F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = toks.select(
+        F.col(id_col),
+        F.size(t).cast("long").alias("n_tok"),
+        F.aggregate(t, F.lit(0).cast("long"), lambda a, x: a + F.length(x)).alias(
+            "_chars"
+        ),
+        grams_expr.alias("_g"),
+    )
+    g = F.col("_g")
+    n_gram = F.size(g).cast("long")
+    # longest run in the sorted gram array == count of the modal 2-gram
+    run_fold = F.aggregate(
+        F.array_sort(g),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+    stats = base.select(
+        F.col(id_col),
+        F.col("n_tok"),
+        F.round(F.col("_chars") / F.col("n_tok"), 4).alias("mean_word_len"),
+        F.round(
+            (n_gram - F.size(F.array_distinct(g)).cast("long"))
+            / F.greatest(n_gram, F.lit(1).cast("long")),
+            6,
+        ).alias("dup_2gram_frac"),
+        F.round(run_fold / F.greatest(n_gram, F.lit(1).cast("long")), 6).alias(
+            "top_2gram_frac"
+        ),
+    )
+    return stats.withColumn(
+        "keep",
+        (F.col("n_tok") >= min_tokens)
+        & (F.col("dup_2gram_frac") <= max_dup_2gram_frac)
+        & (F.col("top_2gram_frac") <= max_top_2gram_frac)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+    )

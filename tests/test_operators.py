@@ -1627,3 +1627,127 @@ def test_bucketed_publish_registration_survives_session(spark, tmp_path):
         for r in docs.join(emb, "doc_id").select("doc_id", "lang", "label").collect()
     }
     assert got == plain and got
+
+
+# ---------------------------------------------------------------------------
+# round 5: tx12 Gopher repetition, dd10 span dedup, sim4 semantic dedup
+# ---------------------------------------------------------------------------
+def test_gopher_repetition_semantics(spark):
+    """Hand-computed repetition signals: a degenerate repeated doc is
+    dropped, a long diverse doc kept, a one-token doc has empty-gram
+    guards (no div-by-zero, dropped on length)."""
+    from tartare_spark.operators.text import gopher_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb aa bb aa bb"),
+            (2, " ".join(f"word{i}" for i in range(25))),
+            (3, "hello"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+    r1 = rows[1]
+    # grams: "aa bb" x3, "bb aa" x2 -> 5 grams, 2 distinct, top count 3
+    assert r1["n_tok"] == 6
+    assert r1["dup_2gram_frac"] == 0.6
+    assert r1["top_2gram_frac"] == 0.6
+    assert r1["mean_word_len"] == 2.0
+    assert r1["keep"] is False
+    r2 = rows[2]
+    assert r2["n_tok"] == 25 and r2["dup_2gram_frac"] == 0.0
+    assert r2["keep"] is True
+    r3 = rows[3]
+    assert r3["n_tok"] == 1
+    assert r3["dup_2gram_frac"] == 0.0 and r3["top_2gram_frac"] == 0.0
+    assert r3["keep"] is False
+
+
+def test_gopher_repetition_shuffle_free(spark):
+    """Scale invariant: the repetition filter is a map-only pass —
+    zero exchanges even on a parquet source."""
+    from tartare_spark.operators.text import gopher_repetition
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        gopher_repetition(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_span_dedup_semantics(spark):
+    """Cross-doc spans count as shared; SELF-repeated spans do not."""
+    from tartare_spark.operators.dedup_docs import span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "t1 t2 t3 t4 a1 a2 a3 a4"),
+            (2, "t1 t2 t3 t4 b1 b2 b3 b4"),
+            (3, "c1 c2 c3 c4 c1 c2 c3 c4"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in span_dedup(docs, window=4).collect()}
+    assert rows[1]["n_spans"] == 2 and rows[1]["n_shared"] == 1
+    assert rows[1]["shared_frac"] == 0.5 and rows[1]["keep"] is False
+    assert rows[2]["n_spans"] == 2 and rows[2]["n_shared"] == 1
+    # doc 3's duplicated span is self-only: not cross-doc shared
+    assert rows[3]["n_spans"] == 2 and rows[3]["n_shared"] == 0
+    assert rows[3]["keep"] is True
+
+
+def test_span_dedup_two_exchanges_no_join(spark):
+    """Scale invariant: shared-span detection is min!=max over one
+    fp-partitioned window + one per-doc rollup — exactly two exchanges,
+    no join, and the shuffle never carries the text column."""
+    from tartare_spark.operators.dedup_docs import span_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = span_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert plan.count("Exchange") == 2, plan
+    assert "Join" not in plan, plan
+    # both shuffles key on the long columns; the text column is projected
+    # away before the fp exchange (the Generate's output is (doc_id, fp))
+    assert "Exchange hashpartitioning(fp" in plan, plan
+    assert "Exchange hashpartitioning(doc_id" in plan, plan
+
+
+def test_semantic_dedup_greedy_keep_smallest(spark):
+    """n_cells=1 makes the pair set exact: identical and near-identical
+    vectors are dropped with dup_of = the smallest partner id."""
+    from tartare_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            (4, [0.0, 0.0, 1.0, 0.0]),
+            (5, [0.9, 0.1, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(emb, threshold=0.95, n_cells=1, n_iters=1).collect()}
+    assert out[1]["keep"] is True and out[3]["keep"] is True and out[4]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["dup_of"] == 1
+    assert out[2]["max_cos"] == 1.0
+    assert out[5]["keep"] is False and out[5]["dup_of"] == 1
+    assert out[1]["dup_of"] is None and out[1]["max_cos"] is None
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    """Scale invariant: the pair comparison is a shuffled equi-join on
+    the cell key (sum-over-cells O(c^2)), never a cartesian product;
+    the only nested-loop is the broadcast centroid assignment."""
+    from tartare_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = (
+        semantic_dedup(emb, threshold=0.3, n_cells=8, n_iters=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
