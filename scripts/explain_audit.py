@@ -125,6 +125,16 @@ CHECKS = {
         "ANY:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
         "NOT:CartesianProduct",
     ],
+    # Unigram LM scoring: the vocab join must run on the distinct
+    # (doc, tok) aggregate (HashAggregate feeds the join), never a
+    # cartesian; the 1-row corpus total arrives by broadcast.
+    "tx13_unigram_logprob": [
+        "ANY:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
+        "NOT:CartesianProduct",
+    ],
+    # Mixture weights: one corpus agg; the total is a broadcast NLJ
+    # against 1 row — no data-wide window, no cartesian.
+    "tx14_mixture_weights": ["HashAggregate", "NOT:CartesianProduct"],
 }
 
 

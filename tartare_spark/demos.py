@@ -2681,3 +2681,70 @@ def sim4_semantic_dedup(spark, sf_dir):
 
     return semantic_dedup(T(spark, sf_dir, "embeddings"), threshold=0.3,
                           n_cells=16, n_iters=2)
+
+
+_TX13_SQL = """
+WITH tk AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents
+), tk2 AS (
+  SELECT doc_id, tok FROM tk WHERE tok <> ''
+), dt AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS k FROM tk2 GROUP BY doc_id, tok
+), vocab AS (
+  SELECT tok, CAST(sum(k) AS BIGINT) AS c FROM dt GROUP BY tok
+), n AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_corpus FROM vocab
+), per AS (
+  SELECT dt.doc_id, CAST(sum(dt.k) AS BIGINT) AS n_tok,
+         sum(dt.k * CAST(round(ln(vocab.c), 6) AS DECIMAL(18,6))) AS slp
+  FROM dt JOIN vocab USING (tok) GROUP BY dt.doc_id
+), s AS (
+  SELECT doc_id, n_tok,
+         round(CAST(slp AS DOUBLE) / n_tok
+               - round(ln((SELECT n_corpus FROM n)), 6), 4) AS mean_logprob
+  FROM per
+)
+SELECT doc_id, n_tok, mean_logprob, mean_logprob >= -8.0 AS keep FROM s
+"""
+
+
+@demo("tx13_unigram_logprob", _TX13_SQL)
+def tx13_unigram_logprob(spark, sf_dir):
+    """Corpus-self unigram LM score (KenLM-perplexity proxy): distinct
+    (doc,tok) pairs kill occurrence-level stopword skew; per-doc sum is
+    an exact DECIMAL(18,6) fold so float order can't flip a hash."""
+    from tartare_spark.operators.text import unigram_logprob
+
+    return unigram_logprob(T(spark, sf_dir, "documents"))
+
+
+_TX14_SQL = """
+WITH g AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS group_tokens
+  FROM documents GROUP BY source
+), t AS (
+  SELECT CAST(sum(group_tokens) AS BIGINT) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS n_groups
+  FROM g
+)
+SELECT source, n_docs, group_tokens,
+       round(group_tokens / CAST(total_tokens AS DOUBLE), 6) AS token_share,
+       round(1.0 / n_groups, 6) AS target_share,
+       round((1.0 / n_groups)
+             / (group_tokens / CAST(total_tokens AS DOUBLE)), 6) AS sample_weight
+FROM g, t
+"""
+
+
+@demo("tx14_mixture_weights", _TX14_SQL)
+def tx14_mixture_weights(spark, sf_dir):
+    """Training-mixture rebalancing: per-source token share vs a uniform
+    target, emitting the sampling weight a downstream tx9/tx10 sampler
+    multiplies in. One map-side-combined corpus agg; all arithmetic on
+    |groups| rows with the 1-row total broadcast."""
+    from tartare_spark.operators.text import mixture_weights
+
+    return mixture_weights(T(spark, sf_dir, "documents"))

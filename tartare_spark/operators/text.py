@@ -435,3 +435,107 @@ def gopher_repetition(
         & (F.col("mean_word_len") >= min_mean_word_len)
         & (F.col("mean_word_len") <= max_mean_word_len),
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_logprob: float = -8.0,
+) -> DataFrame:
+    """Corpus-self unigram language-model score per document (the
+    KenLM-perplexity proxy every pre-training pipeline runs, reduced to
+    its order-0 core): build the corpus unigram distribution, then score
+    each document by its mean token log-probability
+    ``mean(ln(count(tok)/N))``; documents of rare-token gibberish score
+    far below prose drawn from the corpus head and are flagged for drop.
+
+    Scale shape (100 TB): two shuffles, text never moves after
+    tokenization. (1) tokens are pre-collapsed to DISTINCT
+    ``(doc, tok, k)`` pairs map-side, so the vocab join carries one row
+    per distinct token per doc — NOT one per occurrence; stopword keys
+    shrink from O(total tokens) to O(docs) and the residual head skew is
+    AQE-splittable (a production run would broadcast the bounded top-V
+    head and shuffle-join only the tail). (2) the per-doc rollup sums an
+    exact DECIMAL(18,6) fold — per-token log-probs are rounded to 6dp
+    then summed in decimal, so the sum is order-independent and
+    bit-identical cross-engine (float summation order can differ
+    between engines/partitionings; decimals cannot).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    doc_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("k"))
+    vocab = doc_tok.groupBy("tok").agg(F.sum("k").alias("c"))
+    n = vocab.agg(F.sum("c").cast("long").alias("n_corpus"))
+    scored = doc_tok.join(vocab, "tok").select(
+        "doc_id",
+        "k",
+        (F.col("k") * F.round(F.log("c"), 6).cast("decimal(18,6)")).alias("lp"),
+    )
+    per = scored.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_tok"), F.sum("lp").alias("slp")
+    )
+    mean_lp = F.round(
+        F.col("slp").cast("double") / F.col("n_tok")
+        - F.round(F.log("n_corpus"), 6),
+        4,
+    )
+    return (
+        per.crossJoin(F.broadcast(n))
+        .select(
+            F.col("doc_id").alias(id_col),
+            "n_tok",
+            mean_lp.alias("mean_logprob"),
+        )
+        .withColumn("keep", F.col("mean_logprob") >= min_logprob)
+    )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    target: dict | None = None,
+) -> DataFrame:
+    """Training-mixture rebalancing weights per corpus group (domain /
+    source): measure each group's share of corpus tokens, compare to the
+    target mixture (uniform across observed groups when ``target`` is
+    None), and emit the per-group sampling weight
+    ``target_share / token_share`` that a downstream sampler (tx9 /
+    tx10) multiplies into its rates — the DoReMi-lite operator every
+    multi-source pre-training run needs.
+
+    Scale shape: ONE map-side-combined aggregation over the corpus
+    (the shuffle carries one partial row per group per partition);
+    everything after runs on |groups| rows with the 1-row total
+    broadcast — no second corpus pass, no window over the data.
+    """
+    per_group = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("long").alias("group_tokens"),
+    )
+    tot = per_group.agg(
+        F.sum("group_tokens").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+    )
+    if target is None:
+        tgt = F.lit(1.0) / F.col("n_groups")
+    else:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in target.items() for x in kv]
+        )
+        tgt = F.coalesce(mapping[F.col("grp")], F.lit(0.0))
+    share = F.col("group_tokens") / F.col("total_tokens")
+    return (
+        per_group.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "group_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round(tgt, 6).alias("target_share"),
+            F.round(tgt / share, 6).alias("sample_weight"),
+        )
+    )

@@ -1751,3 +1751,77 @@ def test_semantic_dedup_no_cartesian(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan, plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+
+
+def test_unigram_logprob_semantics(spark):
+    """Hand-mirrored formula on a 3-doc corpus: head-token docs score
+    high, a rare-token gibberish doc scores low and is dropped."""
+    import math
+
+    from tartare_spark.operators.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "zq xv qqj")],
+        "doc_id long, text string",
+    )
+    # corpus counts: a=3 b=1 c=1 zq=1 xv=1 qqj=1, N=8
+    def score(counts):
+        s = sum(round(math.log(c), 6) for c in counts)
+        return round(s / len(counts) - round(math.log(8), 6), 4)
+
+    rows = {r["doc_id"]: r for r in
+            unigram_logprob(docs, min_logprob=-1.8).collect()}
+    assert rows[1]["n_tok"] == 3
+    assert rows[1]["mean_logprob"] == score([3, 3, 1])
+    assert rows[2]["mean_logprob"] == score([3, 1])
+    assert rows[3]["mean_logprob"] == score([1, 1, 1])
+    assert rows[1]["keep"] is True and rows[2]["keep"] is True
+    assert rows[3]["keep"] is False  # pure-gibberish doc: -2.0794
+
+
+def test_unigram_logprob_distinct_pair_join(spark):
+    """Scale invariant: the vocab join runs on DISTINCT (doc,tok) pairs
+    (an aggregate feeds the join), never on raw occurrences, and the
+    1-row corpus total arrives by broadcast, not a cartesian."""
+    from tartare_spark.operators.text import unigram_logprob
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        unigram_logprob(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # the 1-row total
+    # the equi-join's streamed side is the (doc_id, tok) aggregate:
+    # both shuffles upstream of the join key on (doc_id, tok) / (tok)
+    import re
+
+    assert re.search(r"Exchange hashpartitioning\(tok#", plan), plan
+    assert re.search(r"Exchange hashpartitioning\(doc_id#\d+L?, tok#", plan), plan
+
+
+def test_mixture_weights_semantics(spark):
+    """Two groups, hand-counted tokens: shares, uniform target, and the
+    target-dict override."""
+    from tartare_spark.operators.text import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(1, "w w w", "a"), (2, "w", "a"), (3, "w w w w", "b")],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in mixture_weights(docs).collect()}
+    assert rows["a"]["n_docs"] == 2 and rows["a"]["group_tokens"] == 4
+    assert rows["b"]["group_tokens"] == 4
+    assert rows["a"]["token_share"] == 0.5 and rows["a"]["target_share"] == 0.5
+    assert rows["a"]["sample_weight"] == 1.0 and rows["b"]["sample_weight"] == 1.0
+
+    skew = {r["source"]: r for r in
+            mixture_weights(docs, target={"a": 0.75, "b": 0.25}).collect()}
+    assert skew["a"]["target_share"] == 0.75
+    assert skew["a"]["sample_weight"] == 1.5
+    assert skew["b"]["sample_weight"] == 0.5
+
+    # a group absent from the target dict gets weight 0 (dropped)
+    part = {r["source"]: r for r in
+            mixture_weights(docs, target={"a": 1.0}).collect()}
+    assert part["b"]["target_share"] == 0.0 and part["b"]["sample_weight"] == 0.0
