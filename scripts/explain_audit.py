@@ -135,6 +135,9 @@ CHECKS = {
     # Mixture weights: one corpus agg; the total is a broadcast NLJ
     # against 1 row — no data-wide window, no cartesian.
     "tx14_mixture_weights": ["HashAggregate", "NOT:CartesianProduct"],
+    # Composed curation pipeline: stages join on doc_id — never a
+    # cartesian (the LM stage's 1-row total broadcast NLJ is intended).
+    "p5_corpus_curation": ["NOT:CartesianProduct"],
 }
 
 

@@ -2748,3 +2748,63 @@ def tx14_mixture_weights(spark, sf_dir):
     from tartare_spark.operators.text import mixture_weights
 
     return mixture_weights(T(spark, sf_dir, "documents"))
+
+
+# Stage order is load-bearing (see operators/curation.py): exact dedup
+# runs FIRST; the cross-doc stages run over its survivors, so the
+# embedded tx12/dd10/tx13 CTE chains are re-pointed at `curation_docs`.
+_P5_SQL = (
+    f"""
+WITH ex AS (
+  SELECT doc_id, text, source,
+         doc_id = min(doc_id) OVER (PARTITION BY md5({_NORM_SQL}))
+           AS keep_exact
+  FROM __RAW_DOCS__
+), curation_docs AS (
+  SELECT doc_id, text, source FROM ex WHERE keep_exact
+), gstage AS (
+  SELECT doc_id, keep AS keep_gopher FROM ({_TX12_SQL})
+), spstage AS (
+  SELECT doc_id, keep AS keep_span FROM ({_DD10_SQL})
+), lmstage AS (
+  SELECT doc_id, n_tok, mean_logprob >= -3.5 AS keep_lm FROM ({_TX13_SQL})
+), surv AS (
+  SELECT d.source, lm.n_tok,
+         (g.keep_gopher AND sp.keep_span AND lm.keep_lm) AS keep_all
+  FROM curation_docs d
+  JOIN gstage g USING (doc_id)
+  JOIN spstage sp USING (doc_id)
+  JOIN lmstage lm USING (doc_id)
+), kept AS (
+  SELECT source,
+         CAST(sum(CASE WHEN keep_all THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN keep_all THEN n_tok ELSE 0 END) AS BIGINT)
+           AS tokens_kept
+  FROM surv GROUP BY source
+), cand AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM __RAW_DOCS__ GROUP BY source
+)
+SELECT cand.source, cand.n_docs,
+       CAST(COALESCE(kept.n_kept, 0) AS BIGINT) AS n_kept,
+       round(COALESCE(kept.n_kept, 0) / CAST(cand.n_docs AS DOUBLE), 6)
+         AS kept_frac,
+       CAST(COALESCE(kept.tokens_kept, 0) AS BIGINT) AS tokens_kept
+FROM cand LEFT JOIN kept USING (source)
+"""
+    # the embedded tx12/dd10/tx13 chains scan the exact-dedup survivors
+    .replace("FROM documents", "FROM curation_docs")
+    # the exact stage itself and the candidate count scan the raw table
+    .replace("__RAW_DOCS__", "documents")
+)
+
+
+@demo("p5_corpus_curation", _P5_SQL)
+def p5_corpus_curation(spark, sf_dir):
+    """Composed curation pipeline (gopher ∧ exact-unique ∧ span-unique
+    ∧ LM-score) → per-source survivor report with surviving token
+    budget; every stage individually oracle-checked, the composition
+    checked here."""
+    from tartare_spark.operators.curation import curate_corpus
+
+    return curate_corpus(T(spark, sf_dir, "documents"))

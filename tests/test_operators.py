@@ -1825,3 +1825,47 @@ def test_mixture_weights_semantics(spark):
     part = {r["source"]: r for r in
             mixture_weights(docs, target={"a": 1.0}).collect()}
     assert part["b"]["target_share"] == 0.0 and part["b"]["sample_weight"] == 0.0
+
+
+def test_curate_corpus_stage_order(spark):
+    """Exact dedup runs BEFORE the cross-doc stages: a doc with an
+    exact copy must still survive (one copy kept) — running span dedup
+    on the raw corpus would flag every span of both copies as shared
+    and discard all copies. Planted drops for each stage verify the
+    composition."""
+    from tartare_spark.operators.curation import curate_corpus
+
+    diverse = " ".join(f"word{i}" for i in range(25))
+    shared = " ".join(f"sharedtok{i}" for i in range(16))
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa bbbb aaaa bbbb aaaa bbbb", "s"),  # gopher: repetitive
+            (2, diverse, "s"),                           # the survivor
+            (3, diverse, "s"),                           # exact copy of 2
+            (4, shared + " " + " ".join(f"uniqa{i}" for i in range(8)), "s"),
+            (5, shared + " " + " ".join(f"uniqb{i}" for i in range(8)), "s"),
+            # 4/5: 24 tokens, 3 spans, 2 cross-doc-shared -> span drop
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = curate_corpus(docs, min_logprob=-99.0).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_docs"] == 5
+    assert r["n_kept"] == 1, r   # doc 2 survives its exact copy
+    assert r["tokens_kept"] == 25
+    assert r["kept_frac"] == 0.2
+
+
+def test_curate_corpus_no_cartesian(spark):
+    """Scale invariant: the composed pipeline joins stages on doc_id —
+    no cartesian anywhere; the only NLJ is the broadcast 1-row corpus
+    total from the LM stage."""
+    from tartare_spark.operators.curation import curate_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        curate_corpus(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan, plan
