@@ -119,11 +119,14 @@ CHECKS = {
     # test_span_dedup_two_exchanges_no_join).
     "dd10_span_dedup": ["Window", "NOT:Join"],
     # SemDeDup: the pair comparison is an equi-join on the cell key —
-    # never a true cartesian (the centroid broadcast NLJ against
-    # <=n_cells rows is the intended assignment plan, as in sim3).
+    # never a true cartesian; cell assignment is a literal argmax
+    # PROJECTION (bounded trained centroids inlined), so no window and
+    # no NLJ may appear anywhere in the plan.
     "sim4_semantic_dedup": [
         "ANY:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin",
         "NOT:CartesianProduct",
+        "NOT:Window",
+        "NOT:BroadcastNestedLoopJoin",
     ],
     # Unigram LM scoring: the vocab join must run on the distinct
     # (doc, tok) aggregate (HashAggregate feeds the join), never a

@@ -2557,10 +2557,10 @@ def s11_cdc_envelope_source(spark, sf_dir):
 # Round-5 training-data additions: Gopher repetition rules (tx12),
 # cross-doc span dedup (dd10), SemDeDup semantic dedup (sim4)
 # ======================================================================
-_TX12_SQL = """
+_TX12_SQL_T = """
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
-  FROM documents
+  FROM __DOCS__
 ), g AS (
   SELECT doc_id, tk,
          CAST(len(tk) AS BIGINT) AS n_tok,
@@ -2586,10 +2586,13 @@ WITH t AS (
   FROM g LEFT JOIN topg ON g.doc_id = topg.doc_id
 )
 SELECT doc_id, n_tok, mean_word_len, dup_2gram_frac, top_2gram_frac,
-       (n_tok >= 20 AND dup_2gram_frac <= 0.05 AND top_2gram_frac <= 0.08
-        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS keep
+       COALESCE(n_tok >= 20 AND dup_2gram_frac <= 0.05 AND top_2gram_frac <= 0.08
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0, false) AS keep
 FROM s
 """
+
+
+_TX12_SQL = _TX12_SQL_T.replace("__DOCS__", "documents")
 
 
 @demo("tx12_gopher_repetition", _TX12_SQL)
@@ -2602,10 +2605,10 @@ def tx12_gopher_repetition(spark, sf_dir):
     return gopher_repetition(T(spark, sf_dir, "documents"))
 
 
-_DD10_SQL = """
+_DD10_SQL_T = """
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
-  FROM documents
+  FROM __DOCS__
 ), h AS (
   SELECT doc_id,
          list_transform(tk, x ->
@@ -2633,6 +2636,9 @@ SELECT doc_id,
         / count(*)::DOUBLE < 0.5) AS keep
 FROM m GROUP BY doc_id
 """
+
+
+_DD10_SQL = _DD10_SQL_T.replace("__DOCS__", "documents")
 
 
 @demo("dd10_span_dedup", _DD10_SQL)
@@ -2683,10 +2689,10 @@ def sim4_semantic_dedup(spark, sf_dir):
                           n_cells=16, n_iters=2)
 
 
-_TX13_SQL = """
+_TX13_SQL_T = """
 WITH tk AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
-  FROM documents
+  FROM __DOCS__
 ), tk2 AS (
   SELECT doc_id, tok FROM tk WHERE tok <> ''
 ), dt AS (
@@ -2707,6 +2713,9 @@ WITH tk AS (
 )
 SELECT doc_id, n_tok, mean_logprob, mean_logprob >= -8.0 AS keep FROM s
 """
+
+
+_TX13_SQL = _TX13_SQL_T.replace("__DOCS__", "documents")
 
 
 @demo("tx13_unigram_logprob", _TX13_SQL)
@@ -2753,6 +2762,9 @@ def tx14_mixture_weights(spark, sf_dir):
 # Stage order is load-bearing (see operators/curation.py): exact dedup
 # runs FIRST; the cross-doc stages run over its survivors, so the
 # embedded tx12/dd10/tx13 CTE chains are re-pointed at `curation_docs`.
+_tx12_cur = _TX12_SQL_T.replace("__DOCS__", "curation_docs")
+_dd10_cur = _DD10_SQL_T.replace("__DOCS__", "curation_docs")
+_tx13_cur = _TX13_SQL_T.replace("__DOCS__", "curation_docs")
 _P5_SQL = (
     f"""
 WITH ex AS (
@@ -2763,11 +2775,11 @@ WITH ex AS (
 ), curation_docs AS (
   SELECT doc_id, text, source FROM ex WHERE keep_exact
 ), gstage AS (
-  SELECT doc_id, keep AS keep_gopher FROM ({_TX12_SQL})
+  SELECT doc_id, keep AS keep_gopher FROM ({_tx12_cur})
 ), spstage AS (
-  SELECT doc_id, keep AS keep_span FROM ({_DD10_SQL})
+  SELECT doc_id, keep AS keep_span FROM ({_dd10_cur})
 ), lmstage AS (
-  SELECT doc_id, n_tok, mean_logprob >= -3.5 AS keep_lm FROM ({_TX13_SQL})
+  SELECT doc_id, n_tok, mean_logprob >= -3.5 AS keep_lm FROM ({_tx13_cur})
 ), surv AS (
   SELECT d.source, lm.n_tok,
          (g.keep_gopher AND sp.keep_span AND lm.keep_lm) AS keep_all
@@ -2791,11 +2803,7 @@ SELECT cand.source, cand.n_docs,
          AS kept_frac,
        CAST(COALESCE(kept.tokens_kept, 0) AS BIGINT) AS tokens_kept
 FROM cand LEFT JOIN kept USING (source)
-"""
-    # the embedded tx12/dd10/tx13 chains scan the exact-dedup survivors
-    .replace("FROM documents", "FROM curation_docs")
-    # the exact stage itself and the candidate count scan the raw table
-    .replace("__RAW_DOCS__", "documents")
+""".replace("__RAW_DOCS__", "documents")
 )
 
 

@@ -585,16 +585,28 @@ def span_dedup(
     text_col: str = "text",
     window: int = 8,
     max_shared_frac: float = 0.5,
+    stride: int | None = None,
 ) -> DataFrame:
     """Cross-document duplicated-SPAN accounting (the RefinedWeb /
     exact-substring-dedup shape at span granularity): cut every doc
-    into non-overlapping ``window``-token spans, fingerprint each span
-    with the rolling hash (text.chunk_fingerprints with
-    stride == window), and mark a span SHARED when the same fingerprint
-    occurs in more than one document. Docs whose shared-span fraction
-    reaches ``max_shared_frac`` are flagged for drop — the standard
-    remedy for boilerplate and mirrored passages that whole-document
-    dedup (dd1/dd2) cannot see.
+    into ``window``-token spans every ``stride`` tokens, fingerprint
+    each span with the rolling hash (text.chunk_fingerprints), and mark
+    a span SHARED when the same fingerprint occurs in more than one
+    document. Docs whose shared-span fraction reaches
+    ``max_shared_frac`` are flagged for drop — the remedy for
+    boilerplate and mirrored passages that whole-document dedup
+    (dd1/dd2) cannot see.
+
+    ALIGNMENT CAVEAT — the default ``stride=window`` (non-overlapping
+    spans) only detects duplication aligned to the same offset mod
+    ``window`` in both docs: prepend one token to a copied passage and
+    every grid span differs. That default is the cheap screening pass
+    (1/window-th the span volume). For offset-INDEPENDENT detection set
+    ``stride=1``: every window-gram is fingerprinted, so any copied run
+    of >= 2*window-1 tokens is guaranteed to produce a shared
+    fingerprint regardless of alignment, at window× the span volume
+    (still only (doc_id, fp) longs — the true exact-substring-dedup
+    shape short of a suffix array).
 
     Scale shape: the shuffle never carries text — only (doc_id, fp)
     longs. Cross-doc sharing is decided with min(doc_id) != max(doc_id)
@@ -613,7 +625,7 @@ def span_dedup(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_sd_text")),
         text_col="_sd_text",
         window=window,
-        stride=window,
+        stride=window if stride is None else stride,
     )
     w = Window.partitionBy("fp")
     marked = spans.select(

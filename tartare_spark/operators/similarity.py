@@ -697,8 +697,10 @@ def semantic_dedup(
     seen; both NULL for keepers.
 
     Scale shape: the all-pairs O(n^2) comparison is replaced by
-    sum-over-cells O(c^2): the tiny centroid table is broadcast for
-    assignment (one map-side pass), then the self-join runs on the
+    sum-over-cells O(c^2): the bounded trained centroid table is
+    INLINED as a literal argmax projection for assignment (a true
+    map-side pass: no crossJoin, no window, no shuffle — plan-pinned),
+    then the self-join runs on the
     cell key — a plain shuffled equi-join, never a cartesian product
     (plan-pinned in tests). n_cells grows with the corpus so the
     per-cell population (and thus per-task pair count) stays bounded;
@@ -712,7 +714,31 @@ def semantic_dedup(
         F.col(id_col).alias("_sid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_sv"),
     )
-    assigned = v.join(_assign_cells(v, cents, "_sv", ["_sid"], 1), "_sid")
+    # Assignment is a PURE PROJECTION: the trained centroid table is
+    # bounded (<= n_cells rows, already driver-materialized by
+    # kmeans_centroids), so it is inlined as a literal argmax —
+    # array_max over struct(cos, -cell) keeps the rounded-cosine
+    # argmax with ties to the SMALLEST cell, the same cross-engine
+    # rule _assign_cells implements. No crossJoin, no window, no
+    # shuffle, and _sv stays in the row — the corpus is scanned, not
+    # moved, until the cell equi-join below.
+    cent_rows = sorted(cents.collect(), key=lambda r: r["cell"])
+    scored = F.array(
+        *[
+            F.struct(
+                F.round(
+                    cosine(
+                        F.col("_sv"),
+                        F.array(*[F.lit(float(x)) for x in r["c_vec"]]),
+                    ),
+                    6,
+                ).alias("cos"),
+                F.lit(-int(r["cell"])).alias("negcell"),
+            )
+            for r in cent_rows
+        ]
+    )
+    assigned = v.withColumn("cell", (-F.array_max(scored)["negcell"]).cast("int"))
     a = assigned.select(
         F.col("_sid").alias("a_id"), F.col("_sv").alias("a_v"), "cell"
     )

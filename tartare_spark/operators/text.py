@@ -427,13 +427,20 @@ def gopher_repetition(
             "top_2gram_frac"
         ),
     )
+    # coalesce makes the verdict TOTAL: a NULL-text doc yields NULL
+    # stats, and a NULL keep would silently vanish from BOTH
+    # `filter(keep)` and `filter(~keep)` downstream — it must be an
+    # explicit drop.
     return stats.withColumn(
         "keep",
-        (F.col("n_tok") >= min_tokens)
-        & (F.col("dup_2gram_frac") <= max_dup_2gram_frac)
-        & (F.col("top_2gram_frac") <= max_top_2gram_frac)
-        & (F.col("mean_word_len") >= min_mean_word_len)
-        & (F.col("mean_word_len") <= max_mean_word_len),
+        F.coalesce(
+            (F.col("n_tok") >= min_tokens)
+            & (F.col("dup_2gram_frac") <= max_dup_2gram_frac)
+            & (F.col("top_2gram_frac") <= max_top_2gram_frac)
+            & (F.col("mean_word_len") >= min_mean_word_len)
+            & (F.col("mean_word_len") <= max_mean_word_len),
+            F.lit(False),
+        ),
     )
 
 
@@ -507,6 +514,11 @@ def mixture_weights(
     tx10) multiplies into its rates — the DoReMi-lite operator every
     multi-source pre-training run needs.
 
+    A target key with NO corpus presence still gets a row (n_docs=0,
+    token_share=0, sample_weight=NULL — the requested share is
+    unrealizable and a downstream sampler must see that loudly, not
+    discover it by a missing row).
+
     Scale shape: ONE map-side-combined aggregation over the corpus
     (the shuffle carries one partial row per group per partition);
     everything after runs on |groups| rows with the 1-row total
@@ -516,6 +528,20 @@ def mixture_weights(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count(F.col(text_col))).cast("long").alias("group_tokens"),
     )
+    if target is not None:
+        missing = docs.sparkSession.createDataFrame(
+            [(k,) for k in sorted(target)], f"grp {docs.schema[group_col].dataType.simpleString()}"
+        )
+        per_group = (
+            per_group.join(missing, "grp", "full")
+            .select(
+                "grp",
+                F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+                F.coalesce(F.col("group_tokens"), F.lit(0))
+                .cast("long")
+                .alias("group_tokens"),
+            )
+        )
     tot = per_group.agg(
         F.sum("group_tokens").cast("long").alias("total_tokens"),
         F.count(F.lit(1)).cast("long").alias("n_groups"),
@@ -527,7 +553,7 @@ def mixture_weights(
             *[F.lit(x) for kv in target.items() for x in kv]
         )
         tgt = F.coalesce(mapping[F.col("grp")], F.lit(0.0))
-    share = F.col("group_tokens") / F.col("total_tokens")
+    share = F.try_divide(F.col("group_tokens"), F.col("total_tokens"))
     return (
         per_group.crossJoin(F.broadcast(tot))
         .select(
@@ -536,6 +562,8 @@ def mixture_weights(
             "group_tokens",
             F.round(share, 6).alias("token_share"),
             F.round(tgt, 6).alias("target_share"),
-            F.round(tgt / share, 6).alias("sample_weight"),
+            # try_divide: a zero-share group's weight is NULL (ANSI
+            # divide-by-zero would throw), the loud unrealizable signal
+            F.round(F.try_divide(tgt, share), 6).alias("sample_weight"),
         )
     )

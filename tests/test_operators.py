@@ -1869,3 +1869,73 @@ def test_curate_corpus_no_cartesian(spark):
     )
     plan = plan.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan, plan
+
+
+def test_gopher_repetition_null_text_is_dropped(spark):
+    """A NULL-text doc must get keep=False (total verdict), never
+    keep=NULL — NULL vanishes from both filter(keep) and filter(~keep)."""
+    from tartare_spark.operators.text import gopher_repetition
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, " ".join(f"word{i}" for i in range(25)))],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+    assert rows[1]["keep"] is False
+    assert rows[2]["keep"] is True
+
+
+def test_mixture_weights_absent_target_key(spark):
+    """A target key with no corpus docs still gets a row: n_docs=0,
+    token_share=0, sample_weight=NULL — the unrealizable share must be
+    loud, not a silently missing row."""
+    from tartare_spark.operators.text import mixture_weights
+
+    docs = spark.createDataFrame(
+        [(1, "w w", "web")], "doc_id long, text string, source string"
+    )
+    rows = {r["source"]: r for r in
+            mixture_weights(docs, target={"web": 0.5, "code": 0.5}).collect()}
+    assert set(rows) == {"web", "code"}
+    c = rows["code"]
+    assert c["n_docs"] == 0 and c["group_tokens"] == 0
+    assert c["token_share"] == 0.0 and c["target_share"] == 0.5
+    assert c["sample_weight"] is None
+    assert rows["web"]["sample_weight"] == 0.5  # 0.5 target / 1.0 share
+
+
+def test_span_dedup_stride1_catches_misaligned_copy(spark):
+    """The default grid (stride=window) misses a copied passage shifted
+    by one token; stride=1 fingerprints every window-gram and catches
+    it regardless of alignment."""
+    from tartare_spark.operators.dedup_docs import span_dedup
+
+    body = " ".join(f"tok{i}" for i in range(32))
+    docs = spark.createDataFrame(
+        [(1, body), (2, "intro " + body)],
+        "doc_id long, text string",
+    )
+    grid = {r["doc_id"]: r for r in span_dedup(docs, window=8).collect()}
+    assert grid[1]["n_shared"] == 0 and grid[2]["n_shared"] == 0  # blind spot
+    roll = {r["doc_id"]: r for r in
+            span_dedup(docs, window=8, stride=1).collect()}
+    assert roll[1]["n_shared"] == roll[1]["n_spans"]  # every gram shared
+    assert roll[1]["keep"] is False and roll[2]["keep"] is False
+
+
+def test_semantic_dedup_assignment_is_map_side(spark):
+    """Scale invariant (review fix): cell assignment is a literal
+    argmax PROJECTION — no window, no crossJoin/NLJ anywhere in the
+    plan; the only joins are the cell equi-join and the dup rollback
+    join."""
+    from tartare_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = (
+        semantic_dedup(emb, threshold=0.3, n_cells=8, n_iters=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
