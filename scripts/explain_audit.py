@@ -141,6 +141,15 @@ CHECKS = {
     # Composed curation pipeline: stages join on doc_id — never a
     # cartesian (the LM stage's 1-row total broadcast NLJ is intended).
     "p5_corpus_curation": ["NOT:CartesianProduct"],
+    # SQ8 rerank: encoding is a pure projection; the only join is the
+    # broadcast query NLJ (the online-search shape, as in sim1) — no
+    # corpus shuffle joins, no cartesian.
+    "sim5_sq8_rerank": [
+        "BroadcastNestedLoopJoin",
+        "NOT:CartesianProduct",
+        "NOT:SortMergeJoin",
+        "NOT:ShuffledHashJoin",
+    ],
 }
 
 

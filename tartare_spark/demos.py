@@ -1833,41 +1833,47 @@ _SIM3_N_PROBE = 8
 _SIM3_N_ITERS = 2
 
 
-def _ivf_cents_sql(n_cells: int, n_iters: int = 2, seed: int = 42) -> str:
+def _ivf_cents_sql(
+    n_cells: int, n_iters: int = 2, seed: int = 42,
+    prefix: str = "", src: str = "vecs",
+) -> str:
     """The DuckDB mirror of kmeans_centroids (similarity.py): a CTE
-    chain over ``vecs(vec_id, v)`` ending in ``cents(cell, cv)``.
+    chain over ``src(vec_id, v)`` ending in ``{prefix}cents(cell, cv)``.
     Seeding orders by md5(seed|id); each Lloyd iteration assigns by
     rounded-cosine argmax (ties by cell) and recomputes means with the
     SAME canonical-order fold Spark uses (members sorted by id, summed
-    left-to-right in doubles) so centroids come out bit-identical."""
+    left-to-right in doubles) so centroids come out bit-identical.
+    ``prefix``/``src`` let one query train several independent codebooks
+    (e.g. sim5's per-subspace product-quantization centroids)."""
     key = f"md5(CAST({seed} AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR))"
-    parts = [f"""cents0 AS (
+    p = prefix
+    parts = [f"""{p}cents0 AS (
   SELECT CAST(row_number() OVER (ORDER BY {key} ASC, vec_id ASC) - 1 AS INT) AS cell, v AS cv
-  FROM (SELECT * FROM vecs ORDER BY {key} ASC, vec_id ASC LIMIT {n_cells})
+  FROM (SELECT * FROM {src} ORDER BY {key} ASC, vec_id ASC LIMIT {n_cells})
 )"""]
     for i in range(n_iters):
-        parts.append(f"""ka{i} AS (
+        parts.append(f"""{p}ka{i} AS (
   SELECT vec_id, v, cell FROM (
-    SELECT vecs.vec_id, vecs.v, c.cell,
-           row_number() OVER (PARTITION BY vecs.vec_id
-             ORDER BY round(list_cosine_similarity(vecs.v, c.cv), 6) DESC,
+    SELECT {src}.vec_id, {src}.v, c.cell,
+           row_number() OVER (PARTITION BY {src}.vec_id
+             ORDER BY round(list_cosine_similarity({src}.v, c.cv), 6) DESC,
                       c.cell ASC) AS r
-    FROM vecs, cents{i} c) WHERE r <= 1
+    FROM {src}, {p}cents{i} c) WHERE r <= 1
 )""")
-        parts.append(f"""km{i} AS (
+        parts.append(f"""{p}km{i} AS (
   SELECT cell, list_transform(
     list_reduce(
       list_prepend(list_transform(vlist[1], x -> CAST(0.0 AS DOUBLE)), vlist),
       (acc, x) -> list_transform(acc, (a, j) -> a + x[j])
     ), s -> s / n) AS cv
   FROM (SELECT cell, list(v ORDER BY vec_id ASC) AS vlist, COUNT(*) AS n
-        FROM ka{i} GROUP BY cell)
+        FROM {p}ka{i} GROUP BY cell)
 )""")
-        parts.append(f"""cents{i + 1} AS (
+        parts.append(f"""{p}cents{i + 1} AS (
   SELECT c.cell, COALESCE(m.cv, c.cv) AS cv
-  FROM cents{i} c LEFT JOIN km{i} m ON c.cell = m.cell
+  FROM {p}cents{i} c LEFT JOIN {p}km{i} m ON c.cell = m.cell
 )""")
-    parts.append(f"cents AS (SELECT * FROM cents{n_iters})")
+    parts.append(f"{p}cents AS (SELECT * FROM {p}cents{n_iters})")
     return ", ".join(parts)
 
 
@@ -2816,3 +2822,58 @@ def p5_corpus_curation(spark, sf_dir):
     from tartare_spark.operators.curation import curate_corpus
 
     return curate_corpus(T(spark, sf_dir, "documents"))
+
+
+_SIM5_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), vecs AS (
+  SELECT * FROM e WHERE vec_id >= 5
+), qs AS (
+  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5
+), enc AS (
+  SELECT vec_id, v, scale,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x ->
+                CAST(floor(x * 127.0 / scale + 0.5) AS INT))
+         END AS codes
+  FROM (SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) AS scale
+        FROM vecs)
+), scored AS (
+  SELECT q.q_id, enc.vec_id, enc.v, q.qv,
+         round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(enc.codes,
+             (c, i) -> (CAST(c AS DOUBLE) * enc.scale / 127.0) * q.qv[i])),
+           (acc, t) -> acc + t), 6) AS approx
+  FROM enc, qs q
+), cand AS (
+  SELECT q_id, vec_id, v, qv FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id
+      ORDER BY approx DESC, vec_id ASC) AS cr FROM scored) WHERE cr <= 20
+)
+SELECT q_id, vec_id, cos, rk FROM (
+  SELECT q_id, vec_id,
+         round(list_cosine_similarity(v, qv), 6) AS cos,
+         row_number() OVER (PARTITION BY q_id
+           ORDER BY round(list_cosine_similarity(v, qv), 6) DESC,
+                    vec_id ASC) AS rk
+  FROM cand) WHERE rk <= 5
+"""
+
+
+@demo("sim5_sq8_rerank", _SIM5_SQL)
+def sim5_sq8_rerank(spark, sf_dir):
+    """SQ8 scalar-quantized ANN (FAISS SQ8 shape): int8 codes + one
+    per-vector scale (4x memory cut), asymmetric approximate dot for
+    candidates, exact cosine rerank of the top 20. Encoding is a pure
+    map-side projection — no training pass."""
+    from tartare_spark.operators.similarity import sq8_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    vectors = emb.filter(F.col("vec_id") >= 5)
+    return sq8_topk(vectors, queries, k=5, n_candidates=20)

@@ -768,3 +768,218 @@ def semantic_dedup(
             "max_cos",
         )
     )
+
+
+def dot(a, b):
+    """Inner product of two array<double> columns: left-to-right fold,
+    the same IEEE op sequence as :func:`cosine`'s numerator (and the
+    DuckDB mirror's indexed-lambda fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 4,
+    k_cent: int = 8,
+    n_iters: int = 1,
+    n_candidates: int = 20,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011 shape): split each
+    vector into ``m`` subspaces, train a ``k_cent``-centroid codebook
+    per subspace (deterministic k-means, same machinery as IVF), encode
+    the corpus as ``m`` small codes, rank candidates per query by the
+    ADC approximate inner product (sum over subspaces of
+    dot(query-slice, codebook[code])), then EXACT-rerank the top
+    ``n_candidates`` by true cosine and return the top ``k``.
+
+    This is the memory half of the 100 TB ANN story (sim2b/sim3 are
+    the scan half): the scored representation drops from ``4·dim``
+    bytes to ``m·log2(k_cent)`` bits per vector (64-dim float → 12
+    bits at m=4/k_cent=8, a 170× compression), so the candidate-scoring
+    pass streams codes, not vectors. The full vector is touched only
+    for the ``n_candidates`` exact reranks per query.
+
+    Scale shape: codebooks are bounded (m·k_cent rows) and INLINED as
+    literal projections — encoding is map-side, like sim4's
+    assignment; the ADC scoring joins the code table against the
+    broadcast query set (the online-search shape, cf.
+    brute_force_topk); at corpus scale you'd put the IVF cell routing
+    (sim3) in front so ADC only scores the probed cells.
+    Determinism: codes via rounded-cosine argmax (ties to the smaller
+    cell), ADC and rerank cosines rounded to 6dp before ranking, ties
+    by vec_id — bit-identical cross-engine.
+    """
+    dim = len(vectors.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    v = vectors.select(
+        F.col(id_col).alias("_pid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_pv"),
+    )
+    subcents = []
+    for j in range(m):
+        sub = v.select(
+            F.col("_pid").alias(id_col),
+            F.slice("_pv", j * d + 1, d).alias(vec_col),
+        )
+        cj = kmeans_centroids(
+            sub, k_cent, n_iters=n_iters, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
+        subcents.append(sorted(cj.collect(), key=lambda r: r["cell"]))
+
+    def lit_vec(xs):
+        return F.array(*[F.lit(float(x)) for x in xs])
+
+    def code_expr(j):
+        sub = F.slice(F.col("_pv"), j * d + 1, d)
+        scored = F.array(
+            *[
+                F.struct(
+                    F.round(cosine(sub, lit_vec(r["c_vec"])), 6).alias("cos"),
+                    F.lit(-int(r["cell"])).alias("negcell"),
+                )
+                for r in subcents[j]
+            ]
+        )
+        return (-F.array_max(scored)["negcell"]).cast("int")
+
+    enc = v.select(
+        "_pid", "_pv", *[code_expr(j).alias(f"_c{j}") for j in range(m)]
+    )
+    q = queries.select(
+        F.col(q_id_col),
+        F.transform(F.col(q_vec_col), lambda x: x.cast("double")).alias("_qv"),
+    )
+    joined = enc.crossJoin(F.broadcast(q))
+
+    def adc_term(j):
+        qsub = F.slice(F.col("_qv"), j * d + 1, d)
+        luts = F.array(*[dot(qsub, lit_vec(r["c_vec"])) for r in subcents[j]])
+        return F.element_at(luts, F.col(f"_c{j}") + 1)
+
+    adc = adc_term(0)
+    for j in range(1, m):
+        adc = adc + adc_term(j)
+    scored = joined.select(
+        q_id_col,
+        F.col("_pid").alias(id_col),
+        "_pv",
+        "_qv",
+        F.round(adc, 6).alias("adc"),
+    )
+    wc = Window.partitionBy(q_id_col).orderBy(F.desc("adc"), F.asc(id_col))
+    cand = (
+        scored.withColumn("_cr", F.row_number().over(wc))
+        .filter(F.col("_cr") <= n_candidates)
+    )
+    rer = cand.select(
+        q_id_col,
+        id_col,
+        F.round(cosine(F.col("_pv"), F.col("_qv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        rer.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(q_id_col, id_col, "cos", "rk")
+    )
+
+
+def _exact_rerank(cand, k, id_col, q_id_col, vec_expr, q_expr):
+    rer = cand.select(
+        q_id_col,
+        id_col,
+        F.round(cosine(vec_expr, q_expr), 6).alias("cos"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        rer.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(q_id_col, id_col, "cos", "rk")
+    )
+
+
+def sq8_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Scalar-quantized (SQ8) ANN rerank: encode each corpus vector as
+    int8 codes + one per-vector scale (``code_i = floor(x_i·127/scale
+    + 0.5)``, scale = max|x_i|), rank candidates per query by the
+    asymmetric approximate dot product (dequantized codes × full-
+    precision query), then EXACT-rerank the top ``n_candidates`` by
+    true cosine and return the top ``k``.
+
+    This is the memory half of the ANN story at 100 TB (FAISS SQ8
+    shape; cf. :func:`pq_topk` for the more aggressive PQ codes): the
+    scored representation is ``dim`` bytes + one float instead of
+    ``4·dim`` bytes — a ~4× cut with near-exact recall — and encoding
+    is a pure map-side projection (NO training pass, unlike PQ/IVF).
+    The full-precision vector is touched only for the
+    ``n_candidates`` exact reranks per query.
+
+    Determinism: quantization uses floor(x+0.5) (identical in both
+    engines — double `round()` half-way semantics differ between
+    engines, floor does not), approximate and exact scores are rounded
+    to 6dp before ranking, ties by vec_id.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("_sid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_sv"),
+    )
+    scale = F.array_max(F.transform(F.col("_sv"), F.abs))
+    enc = v.select(
+        "_sid",
+        "_sv",
+        scale.alias("_scale"),
+        F.when(scale == 0.0, F.transform(F.col("_sv"), lambda x: F.lit(0)))
+        .otherwise(
+            F.transform(
+                F.col("_sv"),
+                lambda x: F.floor(x * F.lit(127.0) / scale + F.lit(0.5)).cast(
+                    "int"
+                ),
+            )
+        )
+        .alias("_codes"),
+    )
+    q = queries.select(
+        F.col(q_id_col),
+        F.transform(F.col(q_vec_col), lambda x: x.cast("double")).alias("_qv"),
+    )
+    joined = enc.crossJoin(F.broadcast(q))
+    dequant = F.transform(
+        F.col("_codes"), lambda c: c.cast("double") * F.col("_scale") / F.lit(127.0)
+    )
+    scored = joined.select(
+        q_id_col,
+        F.col("_sid").alias(id_col),
+        "_sv",
+        "_qv",
+        F.round(dot(dequant, F.col("_qv")), 6).alias("approx"),
+    )
+    wc = Window.partitionBy(q_id_col).orderBy(F.desc("approx"), F.asc(id_col))
+    cand = (
+        scored.withColumn("_cr", F.row_number().over(wc))
+        .filter(F.col("_cr") <= n_candidates)
+    )
+    return _exact_rerank(cand, k, id_col, q_id_col, F.col("_sv"), F.col("_qv"))

@@ -1939,3 +1939,50 @@ def test_semantic_dedup_assignment_is_map_side(spark):
     assert "Window" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_sq8_topk_near_exact_recall(spark):
+    """SQ8 quantization error is tiny (8 bits/dim): top-5 per query
+    must match the exact brute force on the test corpus; a zero vector
+    encodes without dividing by zero."""
+    from tartare_spark.operators.similarity import brute_force_topk, sq8_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    vs = emb.filter(F.col("vec_id") >= 5)
+    exact = {(r["q_id"], r["vec_id"]) for r in
+             brute_force_topk(vs, qs, k=5).collect()}
+    got = {(r["q_id"], r["vec_id"]) for r in
+           sq8_topk(vs, qs, k=5, n_candidates=20).collect()}
+    assert len(exact & got) / len(exact) >= 0.9, (exact, got)
+
+    dim = 64
+    zero = spark.createDataFrame(
+        [(999, [0.0] * dim)], "vec_id long, embedding array<float>"
+    )
+    out = sq8_topk(
+        vs.select("vec_id", "embedding").unionByName(zero), qs, k=5,
+        n_candidates=20,
+    ).collect()
+    assert len(out) == 25  # no crash, zero vector just never ranks
+
+
+def test_pq_topk_finds_planted_duplicate(spark):
+    """PQ-ADC sanity on a clustered corpus: an exact duplicate of the
+    query must come back at rank 1 with cosine 1.0 (it shares the
+    query's codes, so ADC puts it in the candidate set)."""
+    from tartare_spark.operators.similarity import pq_topk
+
+    base = [1.0, 0.0, 0.0, 0.0] * 4  # dim 16
+    other = [0.0, 1.0, 0.0, 0.0] * 4
+    vecs = [(i, [x + 0.01 * i for x in other]) for i in range(10, 40)]
+    vecs.append((99, base))  # the planted duplicate
+    vs = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    qs = spark.createDataFrame(
+        [(1, base)], "q_id long, q_vec array<float>"
+    )
+    out = pq_topk(vs, qs, k=3, m=4, k_cent=4, n_iters=1, n_candidates=5).collect()
+    top = [r for r in out if r["rk"] == 1][0]
+    assert top["vec_id"] == 99 and top["cos"] == 1.0
