@@ -1844,7 +1844,8 @@ def _ivf_cents_sql(
     SAME canonical-order fold Spark uses (members sorted by id, summed
     left-to-right in doubles) so centroids come out bit-identical.
     ``prefix``/``src`` let one query train several independent codebooks
-    (e.g. sim5's per-subspace product-quantization centroids)."""
+    (exercised by tests/test_operators.py::test_pq_codebooks_match_duckdb,
+    which mirrors pq_topk's per-subspace codebooks cross-engine)."""
     key = f"md5(CAST({seed} AS VARCHAR) || '|' || CAST(vec_id AS VARCHAR))"
     p = prefix
     parts = [f"""{p}cents0 AS (

@@ -17,17 +17,28 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def cosine(a, b):
-    """Cosine similarity of two array<float/double> columns, computed in
-    double precision, left-to-right accumulation."""
-    dot = F.aggregate(
+def dot(a, b):
+    """Inner product of two array<float/double> columns: left-to-right
+    fold in double precision — the one IEEE op sequence both engines
+    (and :func:`cosine`'s numerator) share."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def cosine(a, b):
+    """Cosine similarity of two array<float/double> columns, computed in
+    double precision, left-to-right accumulation. A zero-norm side
+    yields NULL (try_divide): under Spark 4's default ANSI mode a plain
+    division would throw DIVIDE_BY_ZERO the moment a zero vector
+    reaches any scoring path; NULL instead sorts last in every desc
+    ranking and fails every >= threshold filter — the total, safe
+    verdict."""
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
-    return dot / (na * nb)
+    return F.try_divide(dot(a, b), na * nb)
 
 
 def brute_force_topk(
@@ -714,31 +725,40 @@ def semantic_dedup(
         F.col(id_col).alias("_sid"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_sv"),
     )
-    # Assignment is a PURE PROJECTION: the trained centroid table is
-    # bounded (<= n_cells rows, already driver-materialized by
-    # kmeans_centroids), so it is inlined as a literal argmax —
-    # array_max over struct(cos, -cell) keeps the rounded-cosine
-    # argmax with ties to the SMALLEST cell, the same cross-engine
-    # rule _assign_cells implements. No crossJoin, no window, no
-    # shuffle, and _sv stays in the row — the corpus is scanned, not
-    # moved, until the cell equi-join below.
-    cent_rows = sorted(cents.collect(), key=lambda r: r["cell"])
-    scored = F.array(
-        *[
-            F.struct(
-                F.round(
-                    cosine(
-                        F.col("_sv"),
-                        F.array(*[F.lit(float(x)) for x in r["c_vec"]]),
-                    ),
-                    6,
-                ).alias("cos"),
-                F.lit(-int(r["cell"])).alias("negcell"),
-            )
-            for r in cent_rows
-        ]
-    )
-    assigned = v.withColumn("cell", (-F.array_max(scored)["negcell"]).cast("int"))
+    # Assignment is a PURE PROJECTION for bounded codebooks: the
+    # trained centroid table (<= n_cells rows, already
+    # driver-materialized by kmeans_centroids) is inlined as a literal
+    # argmax — array_max over struct(cos, -cell) keeps the
+    # rounded-cosine argmax with ties to the SMALLEST cell, the same
+    # cross-engine rule _assign_cells implements. No crossJoin, no
+    # window, no shuffle, and _sv stays in the row — the corpus is
+    # scanned, not moved, until the cell equi-join below. The literal
+    # plan holds O(n_cells·dim) expression nodes, so past a few
+    # hundred cells (where analysis cost and the 64KB codegen method
+    # limit bite) assignment falls back to the broadcast-join form —
+    # same results, one extra join.
+    if n_cells <= 256:
+        cent_rows = sorted(cents.collect(), key=lambda r: r["cell"])
+        scored = F.array(
+            *[
+                F.struct(
+                    F.round(
+                        cosine(
+                            F.col("_sv"),
+                            F.array(*[F.lit(float(x)) for x in r["c_vec"]]),
+                        ),
+                        6,
+                    ).alias("cos"),
+                    F.lit(-int(r["cell"])).alias("negcell"),
+                )
+                for r in cent_rows
+            ]
+        )
+        assigned = v.withColumn(
+            "cell", (-F.array_max(scored)["negcell"]).cast("int")
+        )
+    else:
+        assigned = v.join(_assign_cells(v, cents, "_sv", ["_sid"], 1), "_sid")
     a = assigned.select(
         F.col("_sid").alias("a_id"), F.col("_sv").alias("a_v"), "cell"
     )
@@ -770,17 +790,6 @@ def semantic_dedup(
     )
 
 
-def dot(a, b):
-    """Inner product of two array<double> columns: left-to-right fold,
-    the same IEEE op sequence as :func:`cosine`'s numerator (and the
-    DuckDB mirror's indexed-lambda fold)."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def pq_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -806,21 +815,27 @@ def pq_topk(
     This is the memory half of the 100 TB ANN story (sim2b/sim3 are
     the scan half): the scored representation drops from ``4·dim``
     bytes to ``m·log2(k_cent)`` bits per vector (64-dim float → 12
-    bits at m=4/k_cent=8, a 170× compression), so the candidate-scoring
-    pass streams codes, not vectors. The full vector is touched only
-    for the ``n_candidates`` exact reranks per query.
+    bits at m=4/k_cent=8, a 170× compression). The candidate pass
+    carries ONLY (q_id, id, codes) — the ADC lookup tables are
+    precomputed once per query on the (broadcast-tiny) query side, so
+    per scored row the work is m array lookups + adds, and the
+    candidate-ranking shuffle moves no vectors; full vectors are
+    joined back only for the ``Q·n_candidates`` exact reranks.
 
     Scale shape: codebooks are bounded (m·k_cent rows) and INLINED as
     literal projections — encoding is map-side, like sim4's
-    assignment; the ADC scoring joins the code table against the
-    broadcast query set (the online-search shape, cf.
-    brute_force_topk); at corpus scale you'd put the IVF cell routing
-    (sim3) in front so ADC only scores the probed cells.
+    assignment (same trade too: literal size grows with m·k_cent·dim,
+    fine for real codebook sizes); at corpus scale you'd put the IVF
+    cell routing (sim3) in front so ADC only scores the probed cells.
     Determinism: codes via rounded-cosine argmax (ties to the smaller
-    cell), ADC and rerank cosines rounded to 6dp before ranking, ties
+    cell; an all-zero subspace slice has NULL cosines and encodes to
+    cell 0), ADC and rerank scores rounded to 6dp before ranking, ties
     by vec_id — bit-identical cross-engine.
     """
-    dim = len(vectors.select(vec_col).first()[0])
+    head = vectors.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("pq_topk: empty vectors (or NULL first embedding)")
+    dim = len(head[0])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d = dim // m
@@ -854,48 +869,51 @@ def pq_topk(
                 for r in subcents[j]
             ]
         )
-        return (-F.array_max(scored)["negcell"]).cast("int")
+        return F.coalesce(
+            (-F.array_max(scored)["negcell"]).cast("int"), F.lit(0)
+        )
 
     enc = v.select(
-        "_pid", "_pv", *[code_expr(j).alias(f"_c{j}") for j in range(m)]
+        "_pid", *[code_expr(j).alias(f"_c{j}") for j in range(m)]
     )
     q = queries.select(
         F.col(q_id_col),
         F.transform(F.col(q_vec_col), lambda x: x.cast("double")).alias("_qv"),
     )
-    joined = enc.crossJoin(F.broadcast(q))
-
-    def adc_term(j):
-        qsub = F.slice(F.col("_qv"), j * d + 1, d)
-        luts = F.array(*[dot(qsub, lit_vec(r["c_vec"])) for r in subcents[j]])
-        return F.element_at(luts, F.col(f"_c{j}") + 1)
-
-    adc = adc_term(0)
+    # ADC lookup tables: one array per subspace, computed ONCE per
+    # query row (tiny side) — scored rows only index into them.
+    qlut = q.select(
+        q_id_col,
+        *[
+            F.array(
+                *[
+                    dot(F.slice(F.col("_qv"), j * d + 1, d), lit_vec(r["c_vec"]))
+                    for r in subcents[j]
+                ]
+            ).alias(f"_lut{j}")
+            for j in range(m)
+        ],
+    )
+    joined = enc.crossJoin(F.broadcast(qlut))
+    adc = F.element_at(F.col("_lut0"), F.col("_c0") + 1)
     for j in range(1, m):
-        adc = adc + adc_term(j)
+        adc = adc + F.element_at(F.col(f"_lut{j}"), F.col(f"_c{j}") + 1)
     scored = joined.select(
         q_id_col,
         F.col("_pid").alias(id_col),
-        "_pv",
-        "_qv",
         F.round(adc, 6).alias("adc"),
     )
     wc = Window.partitionBy(q_id_col).orderBy(F.desc("adc"), F.asc(id_col))
     cand = (
         scored.withColumn("_cr", F.row_number().over(wc))
         .filter(F.col("_cr") <= n_candidates)
+        .select(q_id_col, id_col)
     )
-    rer = cand.select(
-        q_id_col,
-        id_col,
-        F.round(cosine(F.col("_pv"), F.col("_qv")), 6).alias("cos"),
+    rv = (
+        v.join(F.broadcast(cand), v["_pid"] == cand[id_col])
+        .join(F.broadcast(q), q_id_col)
     )
-    w = Window.partitionBy(q_id_col).orderBy(F.desc("cos"), F.asc(id_col))
-    return (
-        rer.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select(q_id_col, id_col, "cos", "rk")
-    )
+    return _exact_rerank(rv, k, id_col, q_id_col, F.col("_pv"), F.col("_qv"))
 
 
 def _exact_rerank(cand, k, id_col, q_id_col, vec_expr, q_expr):
@@ -934,8 +952,9 @@ def sq8_topk(
     scored representation is ``dim`` bytes + one float instead of
     ``4·dim`` bytes — a ~4× cut with near-exact recall — and encoding
     is a pure map-side projection (NO training pass, unlike PQ/IVF).
-    The full-precision vector is touched only for the
-    ``n_candidates`` exact reranks per query.
+    The candidate pass carries ONLY (q_id, id, codes, scale) — the
+    candidate-ranking shuffle moves no full-precision vectors; they
+    are joined back only for the ``Q·n_candidates`` exact reranks.
 
     Determinism: quantization uses floor(x+0.5) (identical in both
     engines — double `round()` half-way semantics differ between
@@ -949,7 +968,6 @@ def sq8_topk(
     scale = F.array_max(F.transform(F.col("_sv"), F.abs))
     enc = v.select(
         "_sid",
-        "_sv",
         scale.alias("_scale"),
         F.when(scale == 0.0, F.transform(F.col("_sv"), lambda x: F.lit(0)))
         .otherwise(
@@ -973,13 +991,16 @@ def sq8_topk(
     scored = joined.select(
         q_id_col,
         F.col("_sid").alias(id_col),
-        "_sv",
-        "_qv",
         F.round(dot(dequant, F.col("_qv")), 6).alias("approx"),
     )
     wc = Window.partitionBy(q_id_col).orderBy(F.desc("approx"), F.asc(id_col))
     cand = (
         scored.withColumn("_cr", F.row_number().over(wc))
         .filter(F.col("_cr") <= n_candidates)
+        .select(q_id_col, id_col)
     )
-    return _exact_rerank(cand, k, id_col, q_id_col, F.col("_sv"), F.col("_qv"))
+    rv = (
+        v.join(F.broadcast(cand), v["_sid"] == cand[id_col])
+        .join(F.broadcast(q), q_id_col)
+    )
+    return _exact_rerank(rv, k, id_col, q_id_col, F.col("_sv"), F.col("_qv"))

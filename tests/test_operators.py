@@ -1986,3 +1986,68 @@ def test_pq_topk_finds_planted_duplicate(spark):
     out = pq_topk(vs, qs, k=3, m=4, k_cent=4, n_iters=1, n_candidates=5).collect()
     top = [r for r in out if r["rk"] == 1][0]
     assert top["vec_id"] == 99 and top["cos"] == 1.0
+
+
+def test_pq_codebooks_match_duckdb(spark):
+    """pq_topk's per-subspace codebooks are cross-engine exact: train
+    kmeans on two 32-dim slices in Spark and via two PREFIXED
+    _ivf_cents_sql chains in DuckDB (the multi-codebook oracle shape),
+    compare centroids bit-for-bit after 9-sig-digit normalization."""
+    import duckdb
+
+    from tartare_spark.demos import _ivf_cents_sql
+    from tartare_spark.operators.similarity import kmeans_centroids
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    spark_cents = {}
+    for j in range(2):
+        sub = emb.select(
+            "vec_id",
+            F.slice(
+                F.transform("embedding", lambda x: x.cast("double")),
+                j * 32 + 1, 32,
+            ).alias("embedding"),
+        )
+        cj = kmeans_centroids(sub, 4, n_iters=1, seed=42)
+        spark_cents[j] = {
+            r["cell"]: [f"{x:.9g}" for x in r["c_vec"]] for r in cj.collect()
+        }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')"
+    )
+    chains = ", ".join(
+        f"sv{j} AS (SELECT vec_id, v[{j*32+1}:{(j+1)*32}] AS v FROM e), "
+        + _ivf_cents_sql(4, n_iters=1, seed=42, prefix=f"s{j}_", src=f"sv{j}")
+        for j in range(2)
+    )
+    sql = f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings), {chains}
+    SELECT 0 AS sub, cell, cv FROM s0_cents
+    UNION ALL SELECT 1, cell, cv FROM s1_cents
+    """
+    duck = {}
+    for sub_j, cell, cv in con.execute(sql).fetchall():
+        duck.setdefault(sub_j, {})[cell] = [f"{x:.9g}" for x in cv]
+    assert duck == spark_cents
+
+
+def test_sq8_zero_vector_in_candidate_set(spark):
+    """Review repro: a zero vector that REACHES the rerank candidate
+    set must not crash (ANSI DIVIDE_BY_ZERO in cosine) — its cosine is
+    NULL and it ranks last."""
+    from tartare_spark.operators.similarity import sq8_topk
+
+    vs = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0]), (11, [0.9, 0.1, 0.0, 0.0]),
+         (12, [0.0, 1.0, 0.0, 0.0]), (13, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    qs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "q_id long, q_vec array<float>"
+    )
+    rows = sorted(sq8_topk(vs, qs, k=4, n_candidates=20).collect(),
+                  key=lambda r: r["rk"])
+    assert [r["vec_id"] for r in rows] == [10, 11, 12, 13]
+    assert rows[-1]["cos"] is None  # the zero vector, ranked last
