@@ -150,6 +150,10 @@ CHECKS = {
         "NOT:SortMergeJoin",
         "NOT:ShuffledHashJoin",
     ],
+    # Frame schedule: pure long arithmetic over metadata — a map-only
+    # pass (zero-Exchange asserted exactly in
+    # test_frame_schedule_shuffle_free).
+    "mm4_frame_schedule": ["CODEGEN", "NOT:Exchange"],
 }
 
 

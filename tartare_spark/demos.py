@@ -2878,3 +2878,46 @@ def sim5_sq8_rerank(spark, sf_dir):
     )
     vectors = emb.filter(F.col("vec_id") >= 5)
     return sq8_topk(vectors, queries, k=5, n_candidates=20)
+
+
+_MM4_SQL = """
+WITH meta AS (
+  SELECT doc_id,
+         CAST((doc_id % 300) + 1 AS BIGINT) AS duration_s,
+         CAST(([24, 25, 30])[CAST(doc_id % 3 AS INT) + 1] AS BIGINT) AS fps
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         duration_s * fps AS n_frames,
+         greatest(CAST(1 AS BIGINT), (duration_s * fps) // 16) AS stride
+  FROM meta
+)
+SELECT doc_id, n_frames, stride,
+       CAST(len(idx) AS BIGINT) AS n_sampled,
+       idx AS frame_idx
+FROM (
+  SELECT doc_id, n_frames, stride,
+         CASE WHEN n_frames > 0
+              THEN (generate_series(CAST(0 AS BIGINT), n_frames - 1, stride))[1:16]
+              ELSE CAST([] AS BIGINT[]) END AS idx
+  FROM s)
+"""
+
+
+@demo("mm4_frame_schedule", _MM4_SQL)
+def mm4_frame_schedule(spark, sf_dir):
+    """Decode-free frame-sampling schedule: per-blob uniform-stride
+    frame indices from (duration, fps) metadata — the work-planning
+    pass that bounds the decode stage's task budget; pure long
+    arithmetic, zero shuffle."""
+    from tartare_spark.operators.multimodal import frame_schedule
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") % 300) + 1).cast("long").alias("duration_s"),
+        F.element_at(
+            F.array(F.lit(24), F.lit(25), F.lit(30)),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).cast("long").alias("fps"),
+    )
+    return frame_schedule(docs)

@@ -137,3 +137,53 @@ def frame_sample(docs_with_blob: DataFrame, every_n: int = 30) -> DataFrame:  # 
     return docs_with_blob.mapInPandas(
         kernel, "doc_id long, frame_idx int, frame binary"
     )
+
+
+def frame_schedule(
+    meta: DataFrame,
+    id_col: str = "doc_id",
+    duration_col: str = "duration_s",
+    fps_col: str = "fps",
+    max_frames: int = 16,
+) -> DataFrame:
+    """Deterministic frame-sampling SCHEDULE from container metadata
+    only — the half of video frame-sampling that needs no decoder:
+    given per-blob (duration, fps), emit the uniform-stride frame
+    indices a downstream decode kernel (``frame_sample``) should pull,
+    capped at ``max_frames`` per blob.
+
+    At 100 TB this is the work-planning pass that runs BEFORE any
+    byte of video is touched: pure long arithmetic over the metadata
+    columns (zero shuffle, codegen'd), so the expensive decode stage
+    receives an explicit, bounded work list — (blob, frame_idx) —
+    instead of discovering frame counts inside the kernel. Output
+    row count is the decode stage's exact task budget.
+
+    Determinism: stride = max(1, n_frames DIV max_frames) (exact long
+    DIV — parenthesized, DIV binds tighter than minus), indices =
+    sequence(0, n_frames-1, stride) truncated to ``max_frames``; a
+    zero-length blob yields an empty schedule, not an error.
+    """
+    n_frames = (
+        F.col(duration_col).cast("long") * F.col(fps_col).cast("long")
+    )
+    # integer division: floor(n/max) in long space
+    stride = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(n_frames / F.lit(max_frames)).cast("long"),
+    )
+    idx = F.when(
+        n_frames > 0,
+        F.slice(
+            F.sequence(F.lit(0).cast("long"), n_frames - 1, stride),
+            1,
+            max_frames,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return meta.select(
+        F.col(id_col),
+        n_frames.alias("n_frames"),
+        stride.alias("stride"),
+        F.size(idx).cast("long").alias("n_sampled"),
+        idx.alias("frame_idx"),
+    )

@@ -2051,3 +2051,39 @@ def test_sq8_zero_vector_in_candidate_set(spark):
                   key=lambda r: r["rk"])
     assert [r["vec_id"] for r in rows] == [10, 11, 12, 13]
     assert rows[-1]["cos"] is None  # the zero vector, ranked last
+
+
+def test_frame_schedule_semantics(spark):
+    """Hand-computed schedules: short blob samples every frame, long
+    blob strides to exactly max_frames, zero-length blob yields an
+    empty schedule (no sequence error)."""
+    from tartare_spark.operators.multimodal import frame_schedule
+
+    meta = spark.createDataFrame(
+        [(1, 1, 10), (2, 10, 30), (3, 0, 30)],
+        "doc_id long, duration_s long, fps long",
+    )
+    rows = {r["doc_id"]: r for r in frame_schedule(meta, max_frames=16).collect()}
+    r1 = rows[1]  # 10 frames < 16 -> stride 1, all frames
+    assert r1["n_frames"] == 10 and r1["stride"] == 1
+    assert r1["frame_idx"] == list(range(10)) and r1["n_sampled"] == 10
+    r2 = rows[2]  # 300 frames -> stride 18, capped at 16 indices
+    assert r2["n_frames"] == 300 and r2["stride"] == 18
+    assert r2["n_sampled"] == 16
+    assert r2["frame_idx"] == [i * 18 for i in range(16)]
+    r3 = rows[3]
+    assert r3["n_frames"] == 0 and r3["frame_idx"] == [] and r3["n_sampled"] == 0
+
+
+def test_frame_schedule_shuffle_free(spark):
+    """Scale invariant: the schedule is a map-only pass — zero
+    exchanges on a parquet source."""
+    from tartare_spark.operators.multimodal import frame_schedule
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        ((F.col("doc_id") % 300) + 1).cast("long").alias("duration_s"),
+        F.lit(30).cast("long").alias("fps"),
+    )
+    plan = frame_schedule(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
