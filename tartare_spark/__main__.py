@@ -239,6 +239,29 @@ def cmd_history(args) -> int:
     return 0
 
 
+def cmd_meta(args) -> int:
+    """Queryable metadata tables (Iceberg ``db.table.files`` /
+    ``.snapshots`` / ``.partitions`` parity) — lake/metadata.py."""
+    from tartare_spark.lake.metadata import (
+        files_df,
+        partitions_df,
+        snapshots_df,
+    )
+    from tartare_spark.lake.table import LakeTable
+
+    spark = _spark(args)
+    lake = LakeTable(args.lake)
+    if args.table == "snapshots":
+        df = snapshots_df(spark, lake)
+    elif args.table == "files":
+        df = files_df(spark, lake, version=args.version)
+    else:
+        df = partitions_df(spark, lake, version=args.version)
+    for row in df.limit(args.limit).collect():
+        print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
 def cmd_tag(args) -> int:
     # usage validation before any I/O (mirrors cmd_branch): tag --drop
     # without --name would otherwise surface as a confusing
@@ -422,6 +445,17 @@ def build_parser() -> argparse.ArgumentParser:
     h = sub.add_parser("history", help="commit history (version, batch, wall-clock stamp, stats)")
     h.add_argument("--lake", required=True)
     h.set_defaults(fn=cmd_history)
+
+    mt = sub.add_parser(
+        "meta",
+        help="queryable metadata tables: files / snapshots / partitions "
+        "(Iceberg db.table.files parity)",
+    )
+    mt.add_argument("table", choices=["files", "snapshots", "partitions"])
+    mt.add_argument("--lake", required=True)
+    mt.add_argument("--version", type=int, default=None)
+    mt.add_argument("--limit", type=int, default=1000)
+    mt.set_defaults(fn=cmd_meta)
 
     bs = sub.add_parser(
         "bootstrap",

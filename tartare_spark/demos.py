@@ -2921,3 +2921,59 @@ def mm4_frame_schedule(spark, sf_dir):
         ).cast("long").alias("fps"),
     )
     return frame_schedule(docs)
+
+
+_DD11_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         concat(
+           CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END,
+           CASE WHEN doc_id % 4 < 2 THEN 'www.' ELSE '' END,
+           CASE WHEN doc_id % 8 < 4 THEN upper(source) ELSE source END,
+           '.example.com/page-', CAST(doc_id % 7 AS VARCHAR),
+           CASE WHEN doc_id % 16 < 8 THEN '/' ELSE '' END,
+           CASE WHEN doc_id % 32 < 16
+                THEN '?utm_source=feed&ref=rss' ELSE '' END
+         ) AS url
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(trim(url)), '^https?://', ''),
+             '^www\\.', ''),
+           '[?#].*$', ''),
+         '/+$', '') AS canon_url
+  FROM u
+)
+SELECT canon_url, count(*) AS n_dups, min(doc_id) AS keep_id
+FROM c GROUP BY canon_url HAVING count(*) > 1
+"""
+
+
+@demo("dd11_url_dedup", _DD11_SQL)
+def dd11_url_dedup(spark, sf_dir):
+    """URL-canonicalization dedup (RefinedWeb/CCNet first-pass): crawl
+    URLs are synthesized deterministically from (doc_id, source) with
+    scheme / www / case / trailing-slash / tracking-query noise, then
+    canonicalized and grouped — the cheapest dedup pass, run before any
+    content hashing. One map-side-combined shuffle of (canon_url, id)."""
+    from tartare_spark.operators.dedup_docs import canonical_url_dedup
+
+    d = T(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(
+            F.lit("http://")
+        ),
+        F.when(F.col("doc_id") % 4 < 2, F.lit("www.")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 8 < 4, F.upper("source")).otherwise(
+            F.col("source")
+        ),
+        F.lit(".example.com/page-"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 16 < 8, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 32 < 16, F.lit("?utm_source=feed&ref=rss"))
+        .otherwise(F.lit("")),
+    )
+    return canonical_url_dedup(d.select("doc_id", url.alias("url")))

@@ -643,3 +643,45 @@ def span_dedup(
         F.round(F.col("n_shared") / F.col("n_spans"), 6).alias("shared_frac"),
         (F.col("n_shared") / F.col("n_spans") < max_shared_frac).alias("keep"),
     )
+
+
+# ----------------------------------------------------------------------
+# URL-canonicalization dedup
+# ----------------------------------------------------------------------
+def canonical_url(col):
+    """Canonical form of a crawl URL: lowercase, scheme and ``www.``
+    prefix stripped, query string / fragment stripped, trailing slashes
+    stripped. Pure codegen'd regexp chain — evaluated scan-adjacent,
+    zero shuffle, identical on any engine with anchored RE2-portable
+    patterns."""
+    c = F.lower(F.trim(col))
+    c = F.regexp_replace(c, r"^https?://", "")
+    c = F.regexp_replace(c, r"^www\.", "")
+    c = F.regexp_replace(c, r"[?#].*$", "")
+    return F.regexp_replace(c, r"/+$", "")
+
+
+def canonical_url_dedup(
+    docs: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """URL dedup (the RefinedWeb/CCNet first-pass dedup step, run
+    BEFORE any content hashing because it needs no document bytes at
+    all): group crawl records by canonical URL, keep the min-id record
+    per group. One row per duplicated canonical URL with the member
+    count and the keeper.
+
+    Scale shape (same as :func:`exact_dedup_groups`): one hash
+    groupBy with map-side partial aggregation — the shuffle carries
+    (canon_url, id) pairs only, never content. Canonical URLs are
+    near-uniform hash keys, so no skew handling is needed; at 100 TB
+    this is the cheapest dedup pass in the pipeline and should run
+    first to shrink everything downstream.
+    """
+    c = docs.select(
+        F.col(id_col), canonical_url(F.col(url_col)).alias("canon_url")
+    )
+    return (
+        c.groupBy("canon_url")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )

@@ -2087,3 +2087,50 @@ def test_frame_schedule_shuffle_free(spark):
     )
     plan = frame_schedule(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_canonical_url_dedup_semantics(spark):
+    """All noise variants of one logical URL collapse to a single
+    canonical group; distinct pages / hosts stay apart; the group row
+    carries the min-id keeper and the member count."""
+    from tartare_spark.operators.dedup_docs import canonical_url_dedup
+
+    rows = [
+        # five spellings of the same logical URL
+        (1, "https://www.Example.com/a/b?utm_source=x"),
+        (2, "http://example.com/a/b/"),
+        (3, "HTTPS://EXAMPLE.COM/a/b#frag"),
+        (4, "  https://www.example.com/a/b  "),
+        (5, "example.com/a/b"),  # scheme-less crawl record
+        # different page on the same host — its own group (singleton)
+        (6, "https://example.com/a/c"),
+        # different host, same path — singleton
+        (7, "https://other.com/a/b"),
+        # www embedded mid-host must NOT be stripped
+        (8, "https://notwww.example.com/a/b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r["canon_url"]: (r["n_dups"], r["keep_id"])
+        for r in canonical_url_dedup(docs).collect()
+    }
+    assert out == {"example.com/a/b": (5, 1)}
+
+
+def test_canonical_url_dedup_single_shuffle(spark):
+    """One exchange total (the hash groupBy); canonicalization is a
+    codegen'd projection on the scan side."""
+    from tartare_spark.operators.dedup_docs import canonical_url_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "https://a.com/x"), (2, "http://a.com/x/")],
+        "doc_id long, url string",
+    )
+    plan = (
+        canonical_url_dedup(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange") <= 1, plan
