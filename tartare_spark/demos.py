@@ -2977,3 +2977,44 @@ def dd11_url_dedup(spark, sf_dir):
         .otherwise(F.lit("")),
     )
     return canonical_url_dedup(d.select("doc_id", url.alias("url")))
+
+
+_TX15_SQL = f"""
+WITH g AS (
+  SELECT source,
+         CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT)
+           AS group_tokens
+  FROM documents GROUP BY source
+), t AS (
+  SELECT CAST(sum(group_tokens) AS BIGINT) AS total_tokens,
+         CAST(count(*) AS BIGINT) AS n_groups
+  FROM g
+), w AS (
+  SELECT source,
+         (CAST(1.0 AS DOUBLE) / n_groups)
+           / (group_tokens / CAST(total_tokens AS DOUBLE)) AS wt
+  FROM g, t
+), u AS (
+  SELECT doc_id, source, {_SMP_U} AS u FROM documents
+)
+SELECT u.doc_id, u.source
+FROM u JOIN w USING (source)
+WHERE w.wt IS NOT NULL AND u.u < least(CAST(1.0 AS DOUBLE), w.wt)
+"""
+
+
+@demo("tx15_apply_mixture", _TX15_SQL)
+def tx15_apply_mixture(spark, sf_dir):
+    """Materialized training mixture: tx14's DoReMi-lite weights turned
+    into the actual rebalanced corpus via the deterministic (seed, id)
+    acceptance draw — weight side is a broadcast |groups|-row frame, the
+    corpus takes no shuffle. Weights flow through UNROUNDED
+    (mixture_weights(rounded=False)): every step is a correctly-rounded
+    double division of exact long sums, so the kept set is bit-identical
+    cross-engine with no halfway-rounding seam."""
+    from tartare_spark.operators.sampling import apply_mixture
+    from tartare_spark.operators.text import mixture_weights
+
+    docs = T(spark, sf_dir, "documents")
+    w = mixture_weights(docs, rounded=False)
+    return apply_mixture(docs, w).select("doc_id", "source")

@@ -161,3 +161,47 @@ def pack_sequences(
         )
         .withColumn("n_seqs", (F.col("seq_last") - F.col("seq_first") + F.lit(1)).cast("long"))
     )
+
+
+def apply_mixture(
+    docs: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    weight_col: str = "sample_weight",
+    rate_scale: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Materialize a training mixture: turn per-group sampling weights
+    (``mixture_weights(rounded=False)`` output, or any (group, weight)
+    frame) into the deterministic per-row acceptance filter
+    ``u(seed, id) < least(1, rate_scale * weight)`` — the step that
+    takes tx14's DoReMi-lite weights from a report to an actual
+    rebalanced corpus. ``rate_scale`` trades corpus size for mixture
+    fidelity (a weight > 1 cannot be realized by subsampling alone, so
+    scale the whole mixture down until the largest weight fits).
+
+    Groups ABSENT from ``weights`` and groups whose weight is NULL
+    (tx14's unrealizable-target marker) are DROPPED — loudly absent
+    from the output rather than silently passed through at full rate
+    (Spark's ``least`` skips NULLs, so the NULL guard is explicit).
+
+    Scale shape: the weights side is |groups| rows and is broadcast;
+    the corpus side takes NO shuffle — the broadcast hash join and the
+    hash draw evaluate scan-adjacent, so at 100 TB this is one streamed
+    pass, exactly like :func:`stratified_sample` with derived rates.
+    The draw is a pure function of (seed, id): the sample is identical
+    on any engine / partitioning / cluster size.
+    """
+    rates = weights.select(
+        F.col(group_col).alias("_mx_grp"),
+        (F.col(weight_col) * F.lit(float(rate_scale))).alias("_mx_w"),
+    )
+    u = hash_u(id_col, seed)
+    joined = docs.join(
+        F.broadcast(rates), F.col(group_col) == F.col("_mx_grp"), "inner"
+    )
+    rate = F.least(F.lit(1.0), F.col("_mx_w"))
+    return joined.where(F.col("_mx_w").isNotNull() & (u < rate)).drop(
+        "_mx_grp", "_mx_w"
+    )

@@ -505,6 +505,7 @@ def mixture_weights(
     group_col: str = "source",
     text_col: str = "text",
     target: dict | None = None,
+    rounded: bool = True,
 ) -> DataFrame:
     """Training-mixture rebalancing weights per corpus group (domain /
     source): measure each group's share of corpus tokens, compare to the
@@ -554,16 +555,23 @@ def mixture_weights(
         )
         tgt = F.coalesce(mapping[F.col("grp")], F.lit(0.0))
     share = F.try_divide(F.col("group_tokens"), F.col("total_tokens"))
+    # rounded=True (default) is the report shape: 6dp for display and
+    # cross-engine hash stability. rounded=False is the COMPOSITION
+    # shape (apply_mixture): raw IEEE doubles, bit-identical on any
+    # engine because every step is a correctly-rounded double division
+    # of exactly-representable long sums — rounding would only add a
+    # halfway-semantics seam between engines.
+    _r = (lambda c: F.round(c, 6)) if rounded else (lambda c: c)
     return (
         per_group.crossJoin(F.broadcast(tot))
         .select(
             F.col("grp").alias(group_col),
             "n_docs",
             "group_tokens",
-            F.round(share, 6).alias("token_share"),
-            F.round(tgt, 6).alias("target_share"),
+            _r(share).alias("token_share"),
+            _r(tgt).alias("target_share"),
             # try_divide: a zero-share group's weight is NULL (ANSI
             # divide-by-zero would throw), the loud unrealizable signal
-            F.round(F.try_divide(tgt, share), 6).alias("sample_weight"),
+            _r(F.try_divide(tgt, share)).alias("sample_weight"),
         )
     )

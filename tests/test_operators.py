@@ -2134,3 +2134,60 @@ def test_canonical_url_dedup_single_shuffle(spark):
         .split("== Initial Plan ==")[0]
     )
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_apply_mixture_semantics(spark):
+    """Weight > 1 caps at rate 1 (whole group kept); NULL weight and
+    absent groups are dropped; rate_scale scales every group's rate."""
+    from tartare_spark.operators.sampling import apply_mixture, hash_u
+
+    docs = spark.createDataFrame(
+        [(i, ["a", "b", "c", "d"][i % 4]) for i in range(400)],
+        "doc_id long, source string",
+    )
+    weights = spark.createDataFrame(
+        [("a", 5.0), ("b", 0.5), ("c", None)],  # 'd' absent
+        "source string, sample_weight double",
+    )
+    out = apply_mixture(docs, weights).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    # capped at 1.0: every 'a' row survives
+    assert len(by_src["a"]) == 100
+    # NULL weight and absent group: dropped entirely
+    assert "c" not in by_src and "d" not in by_src
+    # 'b' at 0.5: exactly the rows whose deterministic draw is < 0.5
+    u_rows = docs.filter(F.col("source") == "b").select(
+        "doc_id", hash_u("doc_id").alias("u")
+    ).collect()
+    want_b = {r["doc_id"] for r in u_rows if r["u"] < 0.5}
+    assert by_src["b"] == want_b and 0 < len(want_b) < 100
+
+    # rate_scale halves every rate: 'a' now sampled at 5*0.1=0.5 capped
+    # by its own draw, 'b' at 0.05
+    scaled = apply_mixture(docs, weights, rate_scale=0.1).collect()
+    a_scaled = {r["doc_id"] for r in scaled if r["source"] == "a"}
+    assert a_scaled < by_src["a"] and len(a_scaled) > 0
+
+
+def test_apply_mixture_no_corpus_shuffle(spark):
+    """The corpus side must not shuffle: broadcast join + codegen'd
+    draw only — zero hash-partitioning exchanges in the plan."""
+    from tartare_spark.operators.sampling import apply_mixture
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, source string"
+    )
+    weights = spark.createDataFrame(
+        [("a", 1.0), ("b", 0.25)], "source string, sample_weight double"
+    )
+    plan = (
+        apply_mixture(docs, weights)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
