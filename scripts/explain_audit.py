@@ -154,6 +154,17 @@ CHECKS = {
     # pass (zero-Exchange asserted exactly in
     # test_frame_schedule_shuffle_free).
     "mm4_frame_schedule": ["CODEGEN", "NOT:Exchange"],
+    # URL dedup: one map-side-combined hash groupBy (the ≤1-Exchange
+    # invariant is asserted exactly in
+    # test_canonical_url_dedup_single_shuffle); canonicalization is a
+    # codegen'd projection, no join anywhere.
+    "dd11_url_dedup": ["HashAggregate", "CODEGEN", "NOT:Join"],
+    # Mixture materialization: the corpus side must not shuffle — the
+    # |groups|-row weights frame broadcasts and the draw is a codegen'd
+    # filter (the corpus-side zero-hashpartitioning invariant is
+    # asserted exactly in test_apply_mixture_no_corpus_shuffle; the
+    # demo's weight AGGREGATION legitimately exchanges on source).
+    "tx15_apply_mixture": ["BroadcastHashJoin", "NOT:SortMergeJoin"],
 }
 
 
