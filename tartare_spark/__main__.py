@@ -249,6 +249,13 @@ def cmd_meta(args) -> int:
     )
     from tartare_spark.lake.table import LakeTable
 
+    if args.table == "snapshots" and args.version is not None:
+        print(
+            "error: meta snapshots lists ALL retained versions; "
+            "--version applies to files/partitions only",
+            file=sys.stderr,
+        )
+        return 2
     spark = _spark(args)
     lake = LakeTable(args.lake)
     if args.table == "snapshots":

@@ -52,7 +52,10 @@ def files_df(
 
         for pdf in batches:
             sizes = [os.path.getsize(p) for p in pdf["path"]]
-            nrows = [pq.ParquetFile(p).metadata.num_rows for p in pdf["path"]]
+            # read_metadata opens, reads the footer, and CLOSES — a
+            # ParquetFile here would leak one handle per listed file
+            # for the task's lifetime (EMFILE at the design point)
+            nrows = [pq.read_metadata(p).num_rows for p in pdf["path"]]
             pdf = pdf.assign(size_bytes=sizes, num_rows=nrows)
             pdf["size_bytes"] = pdf["size_bytes"].astype("int64")
             pdf["num_rows"] = pdf["num_rows"].astype("int64")

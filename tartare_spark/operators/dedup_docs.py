@@ -30,16 +30,24 @@ def _norm(col):
 # ----------------------------------------------------------------------
 # exact dedup
 # ----------------------------------------------------------------------
+def _dup_groups(keyed: DataFrame, key_col: str, id_col: str) -> DataFrame:
+    """Shared dup-group reducer: one row per key with >1 member,
+    carrying the member count and the min-id keeper — the contract
+    every exact-key dedup variant (content fingerprint, canonical URL)
+    shares. One map-side-combined hash groupBy."""
+    return (
+        keyed.groupBy(key_col)
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Groups of byte-identical (post-normalization) documents: one row
     per duplicated fingerprint with the member count and the keeper
     (min id)."""
     fp = docs.select(F.col(id_col), F.md5(_norm(F.col(text_col))).alias("fp"))
-    return (
-        fp.groupBy("fp")
-        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
-        .filter(F.col("n_dups") > 1)
-    )
+    return _dup_groups(fp, "fp", id_col)
 
 
 # ----------------------------------------------------------------------
@@ -680,8 +688,4 @@ def canonical_url_dedup(
     c = docs.select(
         F.col(id_col), canonical_url(F.col(url_col)).alias("canon_url")
     )
-    return (
-        c.groupBy("canon_url")
-        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
-        .filter(F.col("n_dups") > 1)
-    )
+    return _dup_groups(c, "canon_url", id_col)

@@ -110,3 +110,11 @@ def test_cli_meta(spark, meta_lake, capsys):
         ]
         assert rc == 0 and len(lines) >= 1
         json.loads(lines[0])
+
+    # snapshots lists ALL retained versions; --version there is a
+    # usage error, rejected before any work
+    rc = main(
+        ["meta", "snapshots", "--lake", meta_lake.root, "--version", "1"]
+    )
+    capsys.readouterr()
+    assert rc == 2
