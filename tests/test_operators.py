@@ -2191,3 +2191,49 @@ def test_apply_mixture_no_corpus_shuffle(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_canonical_url_idempotent_and_noise_invariant(spark):
+    """Canonicalization is a projection onto its own image: applying it
+    twice equals applying it once, and every synthesized noise variant
+    of a base URL canonicalizes to the base's canonical form. Batched:
+    one generated frame, column-wise asserts — no per-example jobs."""
+    from tartare_spark.operators.dedup_docs import canonical_url
+
+    hosts = ["example.com", "sub.domain.org", "x-y.net", "wwwx.com"]
+    paths = ["", "/a", "/a/b-c", "/a/b/c.html", "/trailing/"]
+    base = [f"{h}{p}" for h in hosts for p in paths]
+    variants = []
+    for i, b in enumerate(base):
+        variants += [
+            (i, b),
+            (i, f"https://{b}"),
+            (i, f"HTTP://{b.upper()}"),
+            (i, f"https://www.{b}"),
+            (i, f"{b}?q=1&utm=2"),
+            (i, f"https://www.{b}#frag"),
+            (i, f"  {b}/  "),
+        ]
+    df = spark.createDataFrame(variants, "gid int, url string")
+    out = df.select(
+        "gid",
+        canonical_url(F.col("url")).alias("c1"),
+        canonical_url(canonical_url(F.col("url"))).alias("c2"),
+    ).collect()
+    for r in out:
+        # idempotence
+        assert r["c2"] == r["c1"], r
+        # noise variants of one base collapse to one canonical form
+        assert r["c1"] == canonical_pure(base[r["gid"]]), r
+
+
+def canonical_pure(u: str) -> str:
+    """Python mirror of the expected canonical form for the generated
+    cases (lowercase, no scheme/www./query/fragment/trailing slash)."""
+    import re
+
+    c = u.strip().lower()
+    c = re.sub(r"^https?://", "", c)
+    c = re.sub(r"^www\.", "", c)
+    c = re.sub(r"[?#].*$", "", c)
+    return re.sub(r"/+$", "", c)
