@@ -859,6 +859,57 @@ def w4_moving_avg(spark, sf_dir):
     )
 
 
+@demo(
+    "w7_sessionize",
+    # microsecond-exact gap test (epoch_us ↔ unix_micros) — a
+    # seconds-truncated diff would disagree with the interval oracle on
+    # gaps within 1s of the 6h boundary; sum(new_sess) is HUGEINT in
+    # DuckDB → CAST (driver hash is type-sensitive)
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM g)
+    SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+           count(*) AS n_events, min(ts) AS sess_start, max(ts) AS sess_end,
+           round(sum(value), 4) AS sum_value
+    FROM s GROUP BY user_id, sess
+    """,
+)
+def w7_sessionize(spark, sf_dir):
+    """Batch sessionization with session ORDINALS [SURVEY §2.5 W7]: the
+    lag+cumsum classic — a 6h-gap flag per event, a running sum turns
+    flags into per-user session indexes, then one aggregate per
+    session. Complements t4 (streaming session_window COUNTS): this
+    emits the sessions themselves, joinable back to events by
+    (user_id, session_idx).
+
+    Scale shape: the two window functions share one (user_id) shuffle +
+    sort, and the per-session groupBy is EXCHANGE-FREE after it —
+    HashPartitioning(user_id) satisfies the (user_id, session_idx)
+    clustering (subset rule), so the whole operator is one shuffle."""
+    from tartare_spark.operators.sessions import sessionize
+
+    ev = T(spark, sf_dir, "events")
+    sessions = sessionize(
+        ev, "user_id", "ts", gap_seconds=6 * 3600, order_cols=["ts", "event_id"]
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("sess_start"),
+        F.max("ts").alias("sess_end"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
 # ======================================================================
 # 2.6 sorts / top-k
 # ======================================================================
@@ -905,6 +956,33 @@ def o3_global_rank(spark, sf_dir):
         order_cols=["o_totalprice", "o_orderkey"],
     )
     return ranked.select("o_orderkey", "o_totalprice", "rank")
+
+
+@demo(
+    "o4_global_ntile",
+    """
+    SELECT o_orderkey, o_totalprice,
+           CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                AS BIGINT) AS tile
+    FROM orders WHERE o_orderkey % 7 = 0
+    """,
+)
+def o4_global_ntile(spark, sf_dir):
+    """Exact global NTILE(10) percentile bucketing WITHOUT a
+    single-partition window [SURVEY §2.6 O4]: the tile is a pure
+    arithmetic function of the two-phase global rank, and the total
+    row count rides the same per-bucket count pass — no extra job.
+    The oracle is the naive global-window NTILE."""
+    from tartare_spark.operators.sort import global_ntile
+
+    orders = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    tiled = global_ntile(
+        orders,
+        bucket=F.floor(F.col("o_totalprice") / 10000),
+        order_cols=["o_totalprice", "o_orderkey"],
+        n=10,
+    )
+    return tiled.select("o_orderkey", "o_totalprice", "tile")
 
 
 # ======================================================================
@@ -3018,3 +3096,54 @@ def tx15_apply_mixture(spark, sf_dir):
     docs = T(spark, sf_dir, "documents")
     w = mixture_weights(docs, rounded=False)
     return apply_mixture(docs, w).select("doc_id", "source")
+
+
+_TX16_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  -- deterministic near-dup copies: case + whitespace noise that the
+  -- dd1 normalization collapses (same synthesis style as dd11)
+  SELECT doc_id + 1000000 AS doc_id,
+         ' ' || replace(upper(text), ' ', '  ') || ' ' AS text
+  FROM documents WHERE doc_id % 5 = 0
+), f AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS fp FROM corpus
+), r AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS rep_id FROM f
+), u AS (
+  SELECT doc_id, rep_id,
+         CAST(('0x' || substr(md5('42|' || CAST(rep_id AS VARCHAR)), 1, 8))
+              AS BIGINT) / 4294967296.0 AS u
+  FROM r
+)
+SELECT doc_id, rep_id,
+       CASE WHEN u < 0.9 THEN 'train'
+            WHEN u < 0.95 THEN 'val'
+            ELSE 'test' END AS split
+FROM u
+"""
+
+
+@demo("tx16_leakage_safe_split", _TX16_SQL)
+def tx16_leakage_safe_split(spark, sf_dir):
+    """Dup-cluster-aware train/val/test split: the split is a pure hash
+    of the exact-dup group REPRESENTATIVE, so a document and its copies
+    always land in the SAME split — per-doc splitting (tx7) would put a
+    few percent of eval's twins into train and measure memorization.
+    The demo unions deterministic noised copies (1 in 5 docs) into the
+    corpus so the co-assignment property is actually exercised; the
+    oracle replays fingerprint → group-min → hash draw in SQL."""
+    from tartare_spark.operators.sampling import leakage_safe_split
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.lit(" "),
+            F.regexp_replace(F.upper("text"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        ).alias("text"),
+    )
+    tagged = leakage_safe_split(d.unionAll(copies))
+    return tagged.select("doc_id", "rep_id", "split")

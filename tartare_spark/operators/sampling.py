@@ -205,3 +205,36 @@ def apply_mixture(
     return joined.where(F.col("_mx_w").isNotNull() & (u < rate)).drop(
         "_mx_grp", "_mx_w"
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    splits: dict[str, float] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Train/val/test assignment that is CONSTANT within each exact-dup
+    group: the split is drawn from the group REPRESENTATIVE (min id
+    over the normalized-content fingerprint), not the document id —
+    so two copies of the same document can never land one in train and
+    one in test. Splitting per-document (text.hash_split) leaks: at
+    web-crawl dup rates a few percent of any held-out set has a
+    byte-identical twin in train, and eval scores measure memorization.
+    Adds ``rep_id`` (the group representative) and ``split``.
+
+    Scale shape: one shuffle on the content fingerprint (same key as
+    exact dedup — at 100 TB these share a pass), then the pure
+    (seed, rep_id) hash draw; no second shuffle, no driver state. For
+    NEAR-dup safety, substitute the dd7 cluster representative for the
+    fingerprint min — the draw is unchanged.
+    """
+    from tartare_spark.operators.dedup_docs import _norm
+    from tartare_spark.operators.text import hash_split
+
+    fp = docs.withColumn("_lss_fp", F.md5(_norm(F.col(text_col))))
+    rep = F.min(id_col).over(Window.partitionBy("_lss_fp"))
+    tagged = hash_split(
+        fp.withColumn("rep_id", rep), "rep_id", splits=splits, seed=seed
+    )
+    return tagged.drop("_lss_fp")

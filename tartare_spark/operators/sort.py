@@ -54,6 +54,22 @@ def global_rank(
     as the manifest fence's two forms (operators/apply.py), no shuffle
     of the data side either way. Both forms produce identical ranks
     (tests/test_operators.py::test_global_rank_broadcast_form)."""
+    ranked, _total = _global_rank_with_total(
+        df, bucket, order_cols, rank_col, broadcast_threshold
+    )
+    return ranked
+
+
+def _global_rank_with_total(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[str],
+    rank_col: str,
+    broadcast_threshold: int,
+) -> tuple[DataFrame, int]:
+    """Shared core of :func:`global_rank` / :func:`global_ntile`: the
+    total row count falls out of the same per-bucket count pass, so
+    ntile never pays a second job for ``count()``."""
     b = df.withColumn("_rb", bucket.cast("long"))
     counts = {
         int(r["_rb"]): int(r["n"])
@@ -70,15 +86,16 @@ def global_rank(
         for k, off in offs:
             entries += [F.lit(k), F.lit(off)]
         offsets = F.create_map(*entries) if entries else F.create_map()
-        return (
+        ranked = (
             b.withColumn(
                 rank_col,
                 (F.row_number().over(w) + offsets[F.col("_rb")]).cast("long"),
             )
             .drop("_rb")
         )
+        return ranked, acc
     off_df = df.sparkSession.createDataFrame(offs, "_rb long, _rk_off long")
-    return (
+    ranked = (
         b.join(F.broadcast(off_df), on="_rb", how="inner")
         .withColumn(
             rank_col,
@@ -86,3 +103,48 @@ def global_rank(
         )
         .drop("_rb", "_rk_off")
     )
+    return ranked, acc
+
+
+def global_ntile(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[str],
+    n: int,
+    tile_col: str = "tile",
+    broadcast_threshold: int = 4096,
+) -> DataFrame:
+    """Exact global ``NTILE(n)`` without a single-partition window.
+
+    Reference analog: percentile bucketing for ordered exports /
+    quality tiers [SURVEY §2.6 O2/O4]. ``NTILE(n) OVER (ORDER BY …)``
+    has the same scale problem as a global row_number — one task holds
+    the whole table. This computes the exact same tile from the
+    two-phase global rank: with ``T`` total rows, ``q = T // n`` and
+    ``r = T % n``, SQL NTILE gives tiles ``1..r`` size ``q+1`` and
+    tiles ``r+1..n`` size ``q``, so
+
+        tile(rank) = (rank-1) // (q+1) + 1            if rank <= r*(q+1)
+                     r + (rank-1 - r*(q+1)) // q + 1  otherwise
+
+    (when ``T < n``, ``q = 0`` and every row is its own tile — the
+    first branch covers all rows). The total ``T`` rides the same
+    per-bucket count pass that global_rank already makes, so ntile
+    costs no extra job. ``order_cols`` must be a total order for the
+    tile of boundary rows to be deterministic (same caveat as SQL
+    NTILE with ties). The intermediate rank column is dropped."""
+    if n < 1:
+        raise ValueError(f"ntile n must be >= 1, got {n}")
+    ranked, total = _global_rank_with_total(
+        df, bucket, order_cols, "_gnt_rank", broadcast_threshold
+    )
+    q, r = divmod(total, n)
+    rk = F.col("_gnt_rank") - F.lit(1)
+    if q == 0:
+        tile = rk + F.lit(1)
+    else:
+        head = F.lit(r * (q + 1))
+        tile = F.when(
+            rk < head, F.floor(rk / F.lit(q + 1)) + F.lit(1)
+        ).otherwise(F.lit(r) + F.floor((rk - head) / F.lit(q)) + F.lit(1))
+    return ranked.withColumn(tile_col, tile.cast("long")).drop("_gnt_rank")

@@ -2237,3 +2237,101 @@ def canonical_pure(u: str) -> str:
     c = re.sub(r"^www\.", "", c)
     c = re.sub(r"[?#].*$", "", c)
     return re.sub(r"/+$", "", c)
+
+
+def test_global_ntile_matches_sql_ntile(spark):
+    """Two-phase global NTILE equals the naive single-partition
+    ``F.ntile`` exactly — including the uneven-tail arithmetic (T % n
+    != 0), n > T (every row its own tile), and n = 1 — and its plan
+    never collapses to a SinglePartition window."""
+    from pyspark.sql import Window
+
+    from tartare_spark.operators.sort import global_ntile
+
+    docs = _docs(spark)
+    bucket = F.floor(F.col("n_chars") / 50)
+    total = docs.count()
+    for n in (1, 3, 7, 10, total - 1, total, total + 13):
+        got_df = global_ntile(docs, bucket, ["n_chars", "doc_id"], n=n)
+        got = {r["doc_id"]: r["tile"] for r in got_df.collect()}
+        naive = {
+            r["doc_id"]: r["tile"]
+            for r in docs.withColumn(
+                "tile",
+                F.ntile(n).over(Window.orderBy("n_chars", "doc_id")),
+            ).collect()
+        }
+        assert got == naive, f"n={n}"
+    plan = (
+        global_ntile(docs, bucket, ["n_chars", "doc_id"], n=10)
+        ._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "SinglePartition" not in plan, plan
+    with pytest.raises(ValueError):
+        global_ntile(docs, bucket, ["n_chars", "doc_id"], n=0)
+
+
+def test_leakage_safe_split_coassigns_dup_groups(spark):
+    """Every exact-dup group gets exactly ONE split (the leakage-safety
+    contract), the representative is the group's min id, and the split
+    frequencies match the per-doc hash_split shares."""
+    from tartare_spark.operators.sampling import leakage_safe_split
+
+    d = _docs(spark).select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" ")).alias("text"),
+    )
+    tagged = leakage_safe_split(d.unionAll(copies))
+    rows = tagged.select("doc_id", "rep_id", "split").collect()
+    by_rep: dict = {}
+    for r in rows:
+        by_rep.setdefault(r["rep_id"], []).append(r)
+    for rep, members in by_rep.items():
+        assert len({m["split"] for m in members}) == 1, members
+        assert rep == min(m["doc_id"] for m in members), members
+    # the synthesized copies landed in existing groups, not their own
+    n_multi = sum(1 for ms in by_rep.values() if len(ms) > 1)
+    assert n_multi == copies.count() > 0
+    # split shares ~ (0.9, 0.05, 0.05) over GROUPS (the draw unit)
+    n_groups = len(by_rep)
+    n_train = sum(1 for ms in by_rep.values() if ms[0]["split"] == "train")
+    assert 0.8 < n_train / n_groups < 0.97
+
+
+def test_sessionize_gap_boundary(spark):
+    """A gap of EXACTLY gap_seconds continues the session (strict >,
+    microsecond-exact); one microsecond more starts a new one. The
+    per-session rollup reuses the window's shuffle (exactly one
+    Exchange in the whole plan)."""
+    from tartare_spark.operators.sessions import session_rollup, sessionize
+
+    rows = [
+        # user 1: t0, +gap exactly (same session), then +gap+1us (new)
+        (1, "2024-01-01 00:00:00.000000", 1),
+        (1, "2024-01-01 01:00:00.000000", 2),
+        (1, "2024-01-01 02:00:00.000001", 3),
+        # user 2: single event
+        (2, "2024-01-01 12:00:00.000000", 4),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts string, event_id int")
+    ev = ev.withColumn("ts", F.to_timestamp("ts"))
+    s = sessionize(ev, "user_id", "ts", gap_seconds=3600,
+                   order_cols=["ts", "event_id"])
+    got = {r["event_id"]: r["session_idx"] for r in s.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+    roll = session_rollup(
+        ev, "user_id", "ts", 3600, order_cols=["ts", "event_id"],
+        agg={"event_id": "max"},
+    )
+    rolled = {(r["user_id"], r["session_idx"]): r for r in roll.collect()}
+    assert rolled[(1, 1)]["n_events"] == 2
+    assert rolled[(1, 2)]["n_events"] == 1
+    assert rolled[(2, 1)]["max_event_id"] == 4
+    plan = (
+        roll._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert plan.count("Exchange") == 1, plan
