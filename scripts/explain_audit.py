@@ -165,6 +165,18 @@ CHECKS = {
     # asserted exactly in test_apply_mixture_no_corpus_shuffle; the
     # demo's weight AGGREGATION legitimately exchanges on source).
     "tx15_apply_mixture": ["BroadcastHashJoin", "NOT:SortMergeJoin"],
+    # Sessionization: gap flag + running sum share ONE keyed window and
+    # the per-session rollup reuses its partitioning (the exactly-one-
+    # Exchange invariant is asserted in test_sessionize_gap_boundary);
+    # never a global window.
+    "w7_sessionize": ["Window", "HashAggregate", "NOT:SinglePartition"],
+    # Global ntile: same two-phase shape as o3 — bucket-partitioned
+    # window, the naive SinglePartition global window must never appear.
+    "o4_global_ntile": ["Window", "NOT:SinglePartition"],
+    # Leakage-safe split: one fingerprint-partitioned window (group
+    # representative) + a pure codegen hash draw — no join, no global
+    # window anywhere.
+    "tx16_leakage_safe_split": ["Window", "NOT:SinglePartition", "NOT:Join"],
 }
 
 
