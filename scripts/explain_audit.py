@@ -177,6 +177,12 @@ CHECKS = {
     # representative) + a pure codegen hash draw — no join, no global
     # window anywhere.
     "tx16_leakage_safe_split": ["Window", "NOT:SinglePartition", "NOT:Join"],
+    # Quality tiering: the tier split must be the bucket-partitioned
+    # two-phase form, never the ntile window function (tx13's 1-row
+    # corpus-total agg is a legitimate SinglePartition — the no-
+    # SinglePartition-feeding-a-Window invariant is consumer-asserted
+    # in test_quality_tiers_partition_and_order).
+    "tx17_quality_tiers": ["Window", "NOT:ntile", "NOT:CartesianProduct"],
 }
 
 

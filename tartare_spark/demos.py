@@ -2813,6 +2813,40 @@ def tx13_unigram_logprob(spark, sf_dir):
     return unigram_logprob(T(spark, sf_dir, "documents"))
 
 
+# tx17 reuses tx13's scoring CTEs verbatim and swaps the final SELECT
+# for the corpus-wide NTILE tier split (ties break on doc_id, so
+# boundary rows are deterministic cross-engine)
+_TX17_SQL = _TX13_SQL.replace(
+    "SELECT doc_id, n_tok, mean_logprob, mean_logprob >= -8.0 AS keep FROM s",
+    """
+SELECT doc_id, n_tok, mean_logprob,
+       CASE CAST(ntile(3) OVER (ORDER BY mean_logprob DESC, doc_id)
+                 AS BIGINT)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier
+FROM s
+""",
+)
+
+
+@demo("tx17_quality_tiers", _TX17_SQL)
+def tx17_quality_tiers(spark, sf_dir):
+    """CCNet head/middle/tail quality tiering [SURVEY §2.12 TX17]: the
+    corpus-self LM score (tx13) split into three equal corpus-wide
+    tiers by the O4 two-phase global ntile — keep head, maybe middle,
+    drop tail. The corpus-wide quantile split never plans a
+    SinglePartition window; the oracle is the naive global-window
+    NTILE over the same score."""
+    from tartare_spark.operators.text import quality_tiers
+
+    tiled = quality_tiers(T(spark, sf_dir, "documents"), n_tiers=3)
+    tier = (
+        F.when(F.col("tile") == 1, F.lit("head"))
+        .when(F.col("tile") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return tiled.select("doc_id", "n_tok", "mean_logprob", tier.alias("tier"))
+
+
 _TX14_SQL = """
 WITH g AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

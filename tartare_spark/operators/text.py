@@ -500,6 +500,44 @@ def unigram_logprob(
     )
 
 
+def quality_tiers(
+    docs: DataFrame,
+    n_tiers: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style quality tiering (Wenzek et al. 2020): score every
+    document with the corpus-self unigram LM (:func:`unigram_logprob`)
+    and split the corpus into ``n_tiers`` equal-size tiers by score —
+    tile 1 is the best-scoring slice ("head" in CCNet's head/middle/
+    tail: keep head for training, middle for augmentation, drop tail).
+    Returns ``(id_col, n_tok, mean_logprob, tile)``; the demo maps
+    tiles to the head/middle/tail labels.
+
+    Scale shape: the tiering itself is the O4 two-phase global ntile —
+    order-monotone coarse buckets over the NEGATED score, per-bucket
+    counts, bucket-partitioned window — so the corpus-wide quantile
+    split never plans a SinglePartition window, and the scoring's two
+    shuffles dominate. Ties (same rounded score) break on id, so the
+    tier of every boundary document is deterministic cross-engine.
+    """
+    from tartare_spark.operators.sort import global_ntile
+
+    scored = unigram_logprob(docs, id_col=id_col, text_col=text_col).drop(
+        "keep"
+    )
+    # mean_logprob DESC == -mean_logprob ASC; floor() of the sort key is
+    # the order-monotone coarse bucket the two-phase rank needs
+    neg = scored.withColumn("_qt_neg", -F.col("mean_logprob"))
+    tiled = global_ntile(
+        neg,
+        bucket=F.floor(F.col("_qt_neg")),
+        order_cols=["_qt_neg", id_col],
+        n=n_tiers,
+    )
+    return tiled.drop("_qt_neg")
+
+
 def mixture_weights(
     docs: DataFrame,
     group_col: str = "source",

@@ -2335,3 +2335,35 @@ def test_sessionize_gap_boundary(spark):
         .split("== Initial Plan ==")[0]
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_quality_tiers_partition_and_order(spark):
+    """Tiles are equal-size (±1), the tile sequence is non-decreasing
+    along the (score DESC, doc_id) total order — i.e. the split is the
+    exact corpus-wide NTILE — and the plan never collapses to a
+    SinglePartition window."""
+    from tartare_spark.operators.text import quality_tiers
+
+    docs = _docs(spark)
+    tiled = quality_tiers(docs, n_tiers=4)
+    rows = tiled.select("doc_id", "mean_logprob", "tile").collect()
+    assert len(rows) == docs.count()
+    ordered = sorted(rows, key=lambda r: (-r["mean_logprob"], r["doc_id"]))
+    tiles = [r["tile"] for r in ordered]
+    assert tiles == sorted(tiles)
+    sizes = [tiles.count(t) for t in sorted(set(tiles))]
+    assert sorted(set(tiles)) == [1, 2, 3, 4]
+    assert max(sizes) - min(sizes) <= 1
+    # tx13's 1-row corpus total is a legitimate SinglePartition final
+    # AGGREGATE; what must never appear is a SinglePartition exchange
+    # feeding the tiering WINDOW/SORT (the whole-table-in-one-task
+    # hazard). Exchange consumers print on the line above in the tree.
+    plan = (
+        tiled._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            consumer = lines[i - 1] if i else ""
+            assert "Aggregate" in consumer, plan
