@@ -896,17 +896,24 @@ def w7_sessionize(spark, sf_dir):
     sort, and the per-session groupBy is EXCHANGE-FREE after it —
     HashPartitioning(user_id) satisfies the (user_id, session_idx)
     clustering (subset rule), so the whole operator is one shuffle."""
-    from tartare_spark.operators.sessions import sessionize
+    from tartare_spark.operators.sessions import session_rollup
 
     ev = T(spark, sf_dir, "events")
-    sessions = sessionize(
-        ev, "user_id", "ts", gap_seconds=6 * 3600, order_cols=["ts", "event_id"]
+    roll = session_rollup(
+        ev,
+        "user_id",
+        "ts",
+        gap_seconds=6 * 3600,
+        order_cols=["ts", "event_id"],
+        agg={"value": "sum"},
     )
-    return sessions.groupBy("user_id", "session_idx").agg(
-        F.count("*").alias("n_events"),
-        F.min("ts").alias("sess_start"),
-        F.max("ts").alias("sess_end"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+    return roll.select(
+        "user_id",
+        "session_idx",
+        "n_events",
+        "sess_start",
+        "sess_end",
+        F.round("sum_value", 4).alias("sum_value"),
     )
 
 
@@ -2826,6 +2833,9 @@ SELECT doc_id, n_tok, mean_logprob,
 FROM s
 """,
 )
+# the replace() must have matched — a drifted tx13 final SELECT would
+# silently leave tx17's oracle identical to tx13's
+assert _TX17_SQL != _TX13_SQL
 
 
 @demo("tx17_quality_tiers", _TX17_SQL)

@@ -71,10 +71,19 @@ def _global_rank_with_total(
     total row count falls out of the same per-bucket count pass, so
     ntile never pays a second job for ``count()``."""
     b = df.withColumn("_rb", bucket.cast("long"))
-    counts = {
-        int(r["_rb"]): int(r["n"])
-        for r in b.groupBy("_rb").agg(F.count("*").alias("n")).collect()
-    }
+    counts: dict[int, int] = {}
+    for r in b.groupBy("_rb").agg(F.count("*").alias("n")).collect():
+        if r["_rb"] is None:
+            # fail fast with the caller's contract, not a driver-side
+            # TypeError three frames deep: a null bucket means a null
+            # order key, which SQL would still tile but this two-phase
+            # form cannot place deterministically
+            raise ValueError(
+                "global_rank/global_ntile: the bucket expression is NULL "
+                "for some rows — filter null order keys out or coalesce "
+                "them to a sentinel bucket first"
+            )
+        counts[int(r["_rb"])] = int(r["n"])
     offs: list[tuple[int, int]] = []
     acc = 0
     for k in sorted(counts):
@@ -143,8 +152,13 @@ def global_ntile(
     if q == 0:
         tile = rk + F.lit(1)
     else:
-        head = F.lit(r * (q + 1))
+        # integer DIV, not floor(double /): ranks past 2^53 would hit
+        # double rounding on the quotient (same exactness rule as
+        # pack_sequences' offsets); DIV binds tighter than minus —
+        # parenthesize the numerator
+        head = r * (q + 1)
         tile = F.when(
-            rk < head, F.floor(rk / F.lit(q + 1)) + F.lit(1)
-        ).otherwise(F.lit(r) + F.floor((rk - head) / F.lit(q)) + F.lit(1))
+            rk < F.lit(head),
+            F.expr(f"((_gnt_rank - 1) DIV {q + 1}) + 1"),
+        ).otherwise(F.expr(f"{r} + ((_gnt_rank - 1 - {head}) DIV {q}) + 1"))
     return ranked.withColumn(tile_col, tile.cast("long")).drop("_gnt_rank")

@@ -527,8 +527,13 @@ def quality_tiers(
         "keep"
     )
     # mean_logprob DESC == -mean_logprob ASC; floor() of the sort key is
-    # the order-monotone coarse bucket the two-phase rank needs
-    neg = scored.withColumn("_qt_neg", -F.col("mean_logprob"))
+    # the order-monotone coarse bucket the two-phase rank needs.
+    # Persist the narrow scored frame first: global_ntile's eager
+    # per-bucket count pass would otherwise re-run the whole scoring
+    # pipeline (two shuffles over the corpus) a second time when the
+    # tiled result is finally acted on — the cache holds only
+    # (id, n_tok, score) rows, never text.
+    neg = scored.withColumn("_qt_neg", -F.col("mean_logprob")).persist()
     tiled = global_ntile(
         neg,
         bucket=F.floor(F.col("_qt_neg")),

@@ -2365,5 +2365,10 @@ def test_quality_tiers_partition_and_order(spark):
     lines = plan.splitlines()
     for i, ln in enumerate(lines):
         if "Exchange SinglePartition" in ln:
-            consumer = lines[i - 1] if i else ""
-            assert "Aggregate" in consumer, plan
+            # walk past AQE wrapper nodes to the real consumer
+            j = i - 1
+            while j >= 0 and (
+                "QueryStage" in lines[j] or "AQEShuffleRead" in lines[j]
+            ):
+                j -= 1
+            assert j >= 0 and "Aggregate" in lines[j], plan
