@@ -118,6 +118,16 @@ CHECKS = {
     # anywhere (the exactly-two-Exchange invariant is asserted in
     # test_span_dedup_two_exchanges_no_join).
     "dd10_span_dedup": ["Window", "NOT:Join"],
+    # Span REMOVAL: the first-occurrence decision windows over
+    # xxhash64(span) — span text must never enter that shuffle (the
+    # window subtree reads longs only); the flag join is an equi-join
+    # on (doc_id, pos), never a cartesian.
+    "dd12_span_remove": [
+        "Window",
+        "xxhash64",
+        "NOT:CartesianProduct",
+        "NOT:BroadcastNestedLoopJoin",
+    ],
     # SemDeDup: the pair comparison is an equi-join on the cell key —
     # never a true cartesian; cell assignment is a literal argmax
     # PROJECTION (bounded trained centroids inlined), so no window and

@@ -3191,3 +3191,51 @@ def tx16_leakage_safe_split(spark, sf_dir):
     )
     tagged = leakage_safe_split(d.unionAll(copies))
     return tagged.select("doc_id", "rep_id", "split")
+
+
+_DD12_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents
+), sp AS (
+  SELECT doc_id,
+         unnest([{pos: CAST(i AS BIGINT),
+                  span: array_to_string(tk[i:i+7], ' ')}
+                 for i in range(1, len(tk) + 1, 8)],
+                recursive := true)
+  FROM t
+), m AS (
+  SELECT doc_id, pos, span,
+         doc_id * 4294967296 + pos AS k,
+         min(doc_id * 4294967296 + pos) OVER (PARTITION BY span) AS first_k
+  FROM sp
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN k = first_k THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_kept,
+         string_agg(CASE WHEN k = first_k THEN span END, ' ' ORDER BY pos)
+           AS ct
+  FROM m GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.ct, '') AS clean_text,
+       COALESCE(a.n_spans, 0) AS n_spans,
+       COALESCE(a.n_spans - a.n_kept, 0) AS n_removed
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+@demo("dd12_span_remove", _DD12_SQL)
+def dd12_span_remove(spark, sf_dir):
+    """C4-style duplicate-span REMOVAL with text reconstruction:
+    first global occurrence of each 8-token span survives, every later
+    copy is cut, and each document's text is rebuilt from its kept
+    spans — the rewrite step dd10 (which only accounts shared spans)
+    stops short of. One text-carrying exchange; the first-occurrence
+    window sees (doc_id, pos, fp) longs only."""
+    from tartare_spark.operators.dedup_docs import span_remove
+
+    return span_remove(T(spark, sf_dir, "documents"), window=8)

@@ -689,3 +689,108 @@ def canonical_url_dedup(
         F.col(id_col), canonical_url(F.col(url_col)).alias("canon_url")
     )
     return _dup_groups(c, "canon_url", id_col)
+
+
+# ----------------------------------------------------------------------
+# C4-style duplicate-span REMOVAL (rewrite, not just accounting)
+# ----------------------------------------------------------------------
+def span_remove(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """C4-style exact duplicate-span REMOVAL: cut every document into
+    non-overlapping ``window``-token spans, keep only the globally
+    FIRST occurrence of each span (lowest ``(doc_id, position)``), and
+    reconstruct each document's text from its surviving spans — the
+    rewrite step C4 describes as "we removed all but one of any
+    three-sentence span occurring more than once", at token-span
+    granularity. :func:`span_dedup` (dd10) only ACCOUNTS shared spans
+    per doc; this operator produces the cleaned corpus.
+
+    Returns (doc_id, clean_text, n_spans, n_removed) — one row per
+    input document (documents reduced to nothing keep an empty
+    clean_text rather than vanishing).
+
+    Scale shape (three exchanges, only ONE carries text):
+    - the first-occurrence decision runs over (doc_id, pos, fp) longs
+      only — the span text never enters the fp-partitioned window
+      shuffle (fp = xxhash64(span); a 64-bit collision falsely merges
+      two distinct spans, ~n²/2^65 — the standard C4/RefinedWeb
+      trade, negligible below ~10^9 spans and still only a single
+      over-removed span each beyond);
+    - span rows and keep-flags are then both repartitioned by doc_id,
+      so the flag join (keys doc_id+pos — HashPartitioning on the
+      doc_id subset satisfies the clustered distribution) and the
+      final per-doc reconstruction groupBy run exchange-free on top
+      of that single text-carrying repartition.
+    - first-occurrence order is encoded as doc_id*2^32+pos for a
+      single-long min; ids must fit 31 bits and positions 32 (swap in
+      a struct-ordered min for wider domains).
+    """
+    from pyspark.sql import Window
+
+    n = F.size("_tk")
+    spans = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.ceil(n / window).cast("int") - 1),
+            lambda i: F.struct(
+                (i * window + 1).cast("long").alias("pos"),
+                F.array_join(
+                    F.slice("_tk", i * window + 1, window), " "
+                ).alias("span"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:long,span:string>>"))
+    # materialize the token array in its own projection (a referenced
+    # non-materialized array expression is re-evaluated per element)
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.lower(F.trim(text_col)), r"\s+"), lambda x: x != ""
+        ).alias("_tk"),
+    )
+    sp = (
+        tk.select("doc_id", F.explode_outer(spans).alias("_s"))
+        .select("doc_id", F.col("_s.pos").alias("pos"), F.col("_s.span").alias("span"))
+    )
+    k = (F.col("doc_id") * F.lit(4294967296)) + F.col("pos")
+    lean = sp.filter(F.col("pos").isNotNull()).select(
+        "doc_id", "pos", F.xxhash64("span").alias("fp"), k.alias("_k")
+    )
+    flags = (
+        lean.withColumn("_first", F.min("_k").over(Window.partitionBy("fp")))
+        .select(
+            "doc_id", "pos", (F.col("_k") == F.col("_first")).alias("_keep")
+        )
+        .repartition("doc_id")
+    )
+    joined = sp.repartition("doc_id").join(flags, ["doc_id", "pos"], "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("pos").alias("n_spans"),
+            (
+                F.count("pos") - F.coalesce(
+                    F.sum(F.col("_keep").cast("long")), F.lit(0)
+                )
+            ).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_keep"),
+                                F.struct(F.col("pos"), F.col("span")),
+                            )
+                        )
+                    ),
+                    lambda x: x["span"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .select("doc_id", "clean_text", "n_spans", "n_removed")
+    )

@@ -2372,3 +2372,65 @@ def test_quality_tiers_partition_and_order(spark):
             ):
                 j -= 1
             assert j >= 0 and "Aggregate" in lines[j], plan
+
+
+def test_span_remove_first_occurrence_and_reconstruction(spark):
+    """dd12 semantics: the globally-first copy of a span survives, every
+    later copy is cut, the text is rebuilt in span order (tail spans
+    shorter than the window included), and a doc reduced to nothing
+    keeps an empty clean_text row rather than vanishing."""
+    from tartare_spark.operators.dedup_docs import span_remove
+
+    w = "a b c d"  # window=4 spans below
+    docs = spark.createDataFrame(
+        [
+            (1, w + " e f g h tail one"),  # spans: [a b c d][e f g h][tail one]
+            (2, w + " x y z w"),           # first span duplicates doc 1's
+            (3, w),                        # whole doc duplicates doc 1's span
+            (4, ""),                       # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in span_remove(docs, window=4).collect()
+    }
+    assert out[1]["clean_text"] == "a b c d e f g h tail one"
+    assert (out[1]["n_spans"], out[1]["n_removed"]) == (3, 0)
+    assert out[2]["clean_text"] == "x y z w"
+    assert (out[2]["n_spans"], out[2]["n_removed"]) == (2, 1)
+    assert out[3]["clean_text"] == ""
+    assert (out[3]["n_spans"], out[3]["n_removed"]) == (1, 1)
+    assert out[4]["clean_text"] == ""
+    assert (out[4]["n_spans"], out[4]["n_removed"]) == (0, 0)
+
+
+def test_span_remove_window_shuffle_is_text_free(spark):
+    """dd12 scale invariant: the first-occurrence window partitions on
+    xxhash64(span) over (doc_id, pos, fp, k) longs only — the fp
+    exchange must not carry the span text; exactly one exchange keys
+    on doc_id (flags + spans share it via the subset rule)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from tartare_spark.operators.dedup_docs import span_remove
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = span_remove(docs)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # the formatted plan lists each node's Input columns: the Exchange
+    # that hash-partitions on fp must consume (doc_id, pos, fp, _k)
+    # longs only — no span column rides the first-occurrence shuffle
+    fp_blocks = [
+        b
+        for b in plan.split("\n\n")
+        if "Exchange" in b and "hashpartitioning(fp" in b
+    ]
+    assert fp_blocks, plan
+    for b in fp_blocks:
+        assert "span#" not in b, b
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
