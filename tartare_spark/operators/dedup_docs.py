@@ -746,10 +746,12 @@ def span_remove(
     ).otherwise(F.array().cast("array<struct<pos:long,span:string>>"))
     # materialize the token array in its own projection (a referenced
     # non-materialized array expression is re-evaluated per element)
+    from .text import tokens
+
     tk = docs.select(
         F.col(id_col).alias("doc_id"),
         F.filter(
-            F.split(F.lower(F.trim(text_col)), r"\s+"), lambda x: x != ""
+            tokens(F.lower(F.col(text_col))), lambda x: x != ""
         ).alias("_tk"),
     )
     sp = (

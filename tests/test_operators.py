@@ -2408,8 +2408,9 @@ def test_span_remove_first_occurrence_and_reconstruction(spark):
 def test_span_remove_window_shuffle_is_text_free(spark):
     """dd12 scale invariant: the first-occurrence window partitions on
     xxhash64(span) over (doc_id, pos, fp, k) longs only — the fp
-    exchange must not carry the span text; exactly one exchange keys
-    on doc_id (flags + spans share it via the subset rule)."""
+    exchange must not carry the span text (span and flag rows each
+    repartition by doc_id once, so the flag join and the final
+    groupBy add no further exchange — subset rule)."""
     import io
     from contextlib import redirect_stdout
 
