@@ -128,6 +128,10 @@ CHECKS = {
         "NOT:CartesianProduct",
         "NOT:BroadcastNestedLoopJoin",
     ],
+    # Replica checksum: one map-side-combined groupBy to <=num_buckets
+    # rows — partial bit_xor/count before the shuffle, no join, the
+    # md5 fold fully codegen'd.
+    "s16_replica_checksum": ["HashAggregate", "CODEGEN", "NOT:Join"],
     # SemDeDup: the pair comparison is an equi-join on the cell key —
     # never a true cartesian; cell assignment is a literal argmax
     # PROJECTION (bounded trained centroids inlined), so no window and

@@ -3239,3 +3239,59 @@ def dd12_span_remove(spark, sf_dir):
     from tartare_spark.operators.dedup_docs import span_remove
 
     return span_remove(T(spark, sf_dir, "documents"), window=8)
+
+
+_S16_SQL = _CH_CTE + """, last AS (
+  SELECT repo, path,
+         arg_max(op, lsn) AS op,
+         arg_max("commit", lsn) AS "commit",
+         arg_max(content, lsn) AS content,
+         max(lsn) AS _lsn
+  FROM ch GROUP BY repo, path
+), state AS (
+  SELECT repo, path, "commit", content, _lsn FROM last WHERE op <> 'delete'
+), h AS (
+  SELECT CAST(('0x' || substr(md5(
+           COALESCE(repo, chr(0)) || '|' || COALESCE(path, chr(0))
+         ), 1, 4)) AS BIGINT) % 32 AS bucket,
+         CAST(('0x' || substr(md5(
+           COALESCE(repo, chr(0)) || '|' || COALESCE(path, chr(0)) || '|' ||
+           COALESCE("commit", chr(0)) || '|' ||
+           COALESCE(content, chr(0)) || '|' ||
+           COALESCE(CAST(_lsn AS VARCHAR), chr(0))
+         ), 1, 15)) AS BIGINT) AS hh
+  FROM state
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows, bit_xor(hh) AS checksum
+FROM h GROUP BY bucket
+"""
+
+
+@demo("s16_replica_checksum", _S16_SQL)
+def s16_replica_checksum(spark, sf_dir):
+    """pt-table-checksum / Debezium-parity replica validation: source
+    and replica each reduce the CDC LWW state to ≤32 (bucket, n_rows,
+    checksum) rows with a portable md5 fold + XOR — comparing the two
+    summaries proves replica equality without shipping or diffing any
+    rows; a mismatch localizes to a bucket for targeted re-sync. The
+    oracle IS the cross-engine replica run: DuckDB computes the same
+    summary from the same events."""
+    from tartare_spark.operators.checksum import table_checksum
+
+    ch = _events_as_changelog(spark, sf_dir)
+    last = (
+        ch.groupBy("repo", "path")
+        .agg(
+            F.max_by("op", "lsn").alias("op"),
+            F.max_by("commit", "lsn").alias("commit"),
+            F.max_by("content", "lsn").alias("content"),
+            F.max("lsn").alias("_lsn"),
+        )
+        .filter(F.col("op") != "delete")
+    )
+    return table_checksum(
+        last.select("repo", "path", "commit", "content", "_lsn"),
+        key_cols=["repo", "path"],
+        val_cols=["commit", "content", "_lsn"],
+        num_buckets=32,
+    )

@@ -2435,3 +2435,39 @@ def test_span_remove_window_shuffle_is_text_free(spark):
         assert "span#" not in b, b
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_table_checksum_validates_replicas(spark):
+    """s15 semantics: a replica with identical content checksums
+    identically under ANY partitioning/row order; a corrupted value
+    flips exactly its bucket; a missing row is caught by n_rows even
+    where XOR could cancel."""
+    from tartare_spark.operators.checksum import checksum_diff, table_checksum
+
+    rows = [(i, f"val_{i}", i * 10) for i in range(200)]
+    src = spark.createDataFrame(rows, "id long, name string, amount long")
+    cs = lambda df: table_checksum(  # noqa: E731
+        df, key_cols=["id"], val_cols=["name", "amount"], num_buckets=8
+    )
+    # replica = same content, different partitioning and order
+    replica = src.repartition(7, "name").sortWithinPartitions("amount")
+    assert checksum_diff(cs(src), cs(replica)).count() == 0
+
+    # one corrupted value -> exactly one dirty bucket, equal row counts
+    bad = spark.createDataFrame(
+        [(i, f"val_{i}", i * 10 if i != 137 else -1) for i in range(200)],
+        "id long, name string, amount long",
+    )
+    d = checksum_diff(cs(src), cs(bad)).collect()
+    assert len(d) == 1 and d[0]["src_rows"] == d[0]["rep_rows"]
+    assert d[0]["src_sum"] != d[0]["rep_sum"]
+
+    # one missing row -> dirty bucket with differing n_rows
+    short = src.filter(F.col("id") != 42)
+    d2 = checksum_diff(cs(src), cs(short)).collect()
+    assert len(d2) == 1 and d2[0]["src_rows"] == d2[0]["rep_rows"] + 1
+
+    # NULL value is distinct from empty string (chr(0) sentinel)
+    a = spark.createDataFrame([(1, None, 5)], "id long, name string, amount long")
+    b = spark.createDataFrame([(1, "", 5)], "id long, name string, amount long")
+    assert checksum_diff(cs(a), cs(b)).count() == 1
