@@ -128,10 +128,18 @@ CHECKS = {
         "NOT:CartesianProduct",
         "NOT:BroadcastNestedLoopJoin",
     ],
-    # Replica checksum: one map-side-combined groupBy to <=num_buckets
-    # rows — partial bit_xor/count before the shuffle, no join, the
-    # md5 fold fully codegen'd.
-    "s16_replica_checksum": ["HashAggregate", "CODEGEN", "NOT:Join"],
+    # Replica checksum: the CHECKSUM stage itself is one map-side-
+    # combined groupBy to <=num_buckets rows (partial bit_xor/count
+    # before its exchange), md5 fold fully codegen'd, no join. The
+    # demo's OTHER shuffle is the LWW state build feeding it (A1
+    # partial_max_by, pinned below too) — inherent to producing the
+    # state, not part of table_checksum.
+    "s16_replica_checksum": [
+        "HashAggregate",
+        "partial_max_by",
+        "CODEGEN",
+        "NOT:Join",
+    ],
     # SemDeDup: the pair comparison is an equi-join on the cell key —
     # never a true cartesian; cell assignment is a literal argmax
     # PROJECTION (bounded trained centroids inlined), so no window and

@@ -3252,13 +3252,13 @@ _S16_SQL = _CH_CTE + """, last AS (
   SELECT repo, path, "commit", content, _lsn FROM last WHERE op <> 'delete'
 ), h AS (
   SELECT CAST(('0x' || substr(md5(
-           COALESCE(repo, chr(0)) || '|' || COALESCE(path, chr(0))
+           md5(COALESCE(repo, chr(0))) || md5(COALESCE(path, chr(0)))
          ), 1, 4)) AS BIGINT) % 32 AS bucket,
          CAST(('0x' || substr(md5(
-           COALESCE(repo, chr(0)) || '|' || COALESCE(path, chr(0)) || '|' ||
-           COALESCE("commit", chr(0)) || '|' ||
-           COALESCE(content, chr(0)) || '|' ||
-           COALESCE(CAST(_lsn AS VARCHAR), chr(0))
+           md5(COALESCE(repo, chr(0))) || md5(COALESCE(path, chr(0))) ||
+           md5(COALESCE("commit", chr(0))) ||
+           md5(COALESCE(content, chr(0))) ||
+           md5(COALESCE(CAST(_lsn AS VARCHAR), chr(0)))
          ), 1, 15)) AS BIGINT) AS hh
   FROM state
 )
@@ -3277,20 +3277,16 @@ def s16_replica_checksum(spark, sf_dir):
     oracle IS the cross-engine replica run: DuckDB computes the same
     summary from the same events."""
     from tartare_spark.operators.checksum import table_checksum
+    from tartare_spark.operators.dedup import dedup_latest_lsn
 
     ch = _events_as_changelog(spark, sf_dir)
-    last = (
-        ch.groupBy("repo", "path")
-        .agg(
-            F.max_by("op", "lsn").alias("op"),
-            F.max_by("commit", "lsn").alias("commit"),
-            F.max_by("content", "lsn").alias("content"),
-            F.max("lsn").alias("_lsn"),
-        )
-        .filter(F.col("op") != "delete")
+    last = dedup_latest_lsn(ch, keys=["repo", "path"], order_col="lsn").filter(
+        F.col("op") != "delete"
     )
     return table_checksum(
-        last.select("repo", "path", "commit", "content", "_lsn"),
+        last.select(
+            "repo", "path", "commit", "content", F.col("lsn").alias("_lsn")
+        ),
         key_cols=["repo", "path"],
         val_cols=["commit", "content", "_lsn"],
         num_buckets=32,

@@ -28,13 +28,20 @@ _NULL = "\x00"
 
 
 def _canon(cols: list[str]):
-    """Canonical row string: '|'-joined string casts with a chr(0) NULL
-    sentinel. Callers normalize float/timestamp columns to a canonical
-    text form FIRST (string casts of approximate types are not
-    engine-portable); integer/decimal/string/date casts are."""
+    """Canonical row string: each column hashed to a FIXED-WIDTH md5
+    hex first, then concatenated — per-column hashing makes the column
+    boundaries unambiguous, so values containing any delimiter cannot
+    shift content between columns ((\"x|y\", \"z\") must differ from
+    (\"x\", \"y|z\")). NULL canonicalizes via a chr(0) sentinel,
+    distinct from ''. Callers normalize float/timestamp columns to a
+    canonical text form FIRST (string casts of approximate types are
+    not engine-portable); integer/decimal/string/date casts are."""
     return F.concat_ws(
-        "|",
-        *[F.coalesce(F.col(c).cast("string"), F.lit(_NULL)) for c in cols],
+        "",
+        *[
+            F.md5(F.coalesce(F.col(c).cast("string"), F.lit(_NULL)))
+            for c in cols
+        ],
     )
 
 
@@ -57,7 +64,20 @@ def table_checksum(
     the bucket's count); only a SWAP of two identical extra rows
     between buckets is invisible, which requires duplicate keys —
     CDC state tables are keyed, so the summary is exact there.
+
+    ``num_buckets`` is capped at 65536 (the bucket draw is the 16-bit
+    md5 prefix mod num_buckets; non-power-of-two counts carry the
+    usual tiny 65536-mod-n bias, irrelevant for localization). Finer
+    re-sync granularity comes from re-checksumming ONE dirty bucket's
+    key range with fresh buckets — pt-table-checksum's own recursion —
+    not from a wider first pass.
     """
+    if not 1 <= int(num_buckets) <= 65536:
+        raise ValueError(
+            f"num_buckets must be in [1, 65536], got {num_buckets} "
+            "(the bucket draw uses a 16-bit md5 prefix; recurse into "
+            "dirty buckets for finer granularity)"
+        )
     bucket = F.pmod(
         F.conv(F.substring(F.md5(_canon(key_cols)), 1, 4), 16, 10).cast(
             "long"

@@ -2438,7 +2438,7 @@ def test_span_remove_window_shuffle_is_text_free(spark):
 
 
 def test_table_checksum_validates_replicas(spark):
-    """s15 semantics: a replica with identical content checksums
+    """s16 semantics: a replica with identical content checksums
     identically under ANY partitioning/row order; a corrupted value
     flips exactly its bucket; a missing row is caught by n_rows even
     where XOR could cancel."""
