@@ -205,6 +205,23 @@ CHECKS = {
     # SinglePartition-feeding-a-Window invariant is consumer-asserted
     # in test_quality_tiers_partition_and_order).
     "tx17_quality_tiers": ["Window", "NOT:ntile", "NOT:CartesianProduct"],
+    # Skew report: ONE map-side-combined groupBy; the totals come back
+    # as a 1-row BROADCAST (NLJ on 1 row is intended) — never a
+    # partition-less window, never a second hash exchange.
+    "o5_skew_report": ["HashAggregate", "NOT:Window", "CODEGEN"],
+    # CMS heavy hitters: the sketch probe must be a BROADCAST hash join
+    # (the sketch is a few KB — probing never shuffles candidates);
+    # no window, no cartesian between data-sized frames (the 1-row
+    # threshold total broadcast-NLJ is intended).
+    "a7_heavy_hitters": [
+        "BroadcastHashJoin",
+        "NOT:Window",
+        "NOT:CartesianProduct",
+    ],
+    # Lag report: a grouped pass with conditional aggregates — no
+    # window, no data-wide join (the 1-row cutoff broadcast is the
+    # only join-shaped node).
+    "s17_lag_report": ["HashAggregate", "NOT:Window", "CODEGEN"],
 }
 
 

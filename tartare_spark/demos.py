@@ -3291,3 +3291,106 @@ def s16_replica_checksum(spark, sf_dir):
         val_cols=["commit", "content", "_lsn"],
         num_buckets=32,
     )
+
+
+_O5_SQL = _CH_CTE + """, counts AS (
+  SELECT path, count(*) AS n_events FROM ch GROUP BY path
+), tot AS (
+  SELECT CAST(sum(n_events) AS BIGINT) AS total, count(*) AS nkeys FROM counts
+)
+SELECT path, CAST(n_events AS BIGINT) AS n_events,
+       round(n_events / total, 6) AS share,
+       round(n_events * nkeys / total, 6) AS ratio,
+       n_events * nkeys / total >= 1.2 AS is_hot,
+       CAST(CASE WHEN n_events * nkeys / total >= 1.2
+                 THEN ceil(n_events * nkeys / total) ELSE 1 END AS INT)
+         AS salt_factor
+FROM counts, tot
+"""
+
+
+@demo("o5_skew_report", _O5_SQL)
+def o5_skew_report(spark, sf_dir):
+    """Hot-key skew diagnostics: per-key volume share + ratio vs the
+    mean key, the hot flag, and the suggested salt factor — the report
+    that sizes A3's ``n_salts`` and that an on-call reads when one
+    reducer straggles. One map-side-combined groupBy; the totals join
+    back as a 1-row broadcast (no partition-less window)."""
+    from tartare_spark.operators.salt import skew_report
+
+    ch = _events_as_changelog(spark, sf_dir)
+    return skew_report(ch, key="path", hot_ratio=1.2)
+
+
+_A7_SQL = _CH_CTE + """, exact AS (
+  SELECT path, count(*) AS n_exact FROM ch GROUP BY path
+), slots AS (
+  SELECT path, d.d AS d,
+         CAST(('0x' || substr(md5(CAST(d.d AS VARCHAR) || '|' || path), 1, 8))
+              AS BIGINT) % 4096 AS slot
+  FROM ch CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(d)
+), sketch AS (
+  SELECT d, slot, count(*) AS n FROM slots GROUP BY d, slot
+), probes AS (
+  SELECT e.path, d.d AS d,
+         CAST(('0x' || substr(md5(CAST(d.d AS VARCHAR) || '|' || e.path), 1, 8))
+              AS BIGINT) % 4096 AS slot
+  FROM exact e CROSS JOIN (VALUES (0), (1), (2), (3)) AS d(d)
+), est AS (
+  SELECT p.path, min(COALESCE(s.n, 0)) AS n_est
+  FROM probes p LEFT JOIN sketch s USING (d, slot)
+  GROUP BY p.path
+), tot AS (
+  SELECT CAST(sum(n_exact) AS BIGINT) AS total, count(*) AS nkeys FROM exact
+)
+SELECT e.path, CAST(e.n_exact AS BIGINT) AS n_exact,
+       CAST(n_est AS BIGINT) AS n_est,
+       CAST(n_est - e.n_exact AS BIGINT) AS overcount
+FROM exact e JOIN est USING (path), tot
+WHERE n_est >= CAST(1.2 AS DOUBLE) * total / nkeys
+"""
+
+
+@demo("a7_heavy_hitters", _A7_SQL)
+def a7_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters: point-frequency estimates from
+    O(depth×width) state built in one map-side-combined pass — the
+    'which keys are hot?' answer that does NOT keep O(distinct keys)
+    aggregation state at 10^10 events. The demo probes every key so the
+    oracle verifies the classical est ≥ exact guarantee cell-exactly
+    (md5 slot arithmetic mirrors in DuckDB); flagged = est ≥ 1.2× the
+    mean key, a deliberate CMS superset of the true hot set."""
+    from tartare_spark.operators.sketch import heavy_hitters
+
+    ch = _events_as_changelog(spark, sf_dir)
+    return heavy_hitters(ch, key="path", rel_threshold=1.2, depth=4, width=4096)
+
+
+_S17_SQL = _CH_CTE + """, cut AS (
+  SELECT (max(lsn) * 6) // 10 AS cutoff FROM ch
+)
+SELECT repo,
+       max(CASE WHEN lsn <= cutoff THEN lsn END) AS applied_wm,
+       max(lsn) AS repo_max_lsn,
+       CAST(count(CASE WHEN lsn > cutoff THEN 1 END) AS BIGINT) AS n_pending,
+       min(CASE WHEN lsn > cutoff THEN lsn END) AS oldest_pending_lsn,
+       max(lsn) - max(CASE WHEN lsn <= cutoff THEN lsn END) AS lag_lsn
+FROM ch, cut
+GROUP BY repo
+"""
+
+
+@demo("s17_lag_report", _S17_SQL)
+def s17_lag_report(spark, sf_dir):
+    """Replication-lag report: per-repo applied watermark, pending
+    count, oldest pending LSN and lag vs a checkpoint cutoff (here 60%
+    of max LSN, simulating a mid-replay fence) — the queryable
+    counterpart of T7's per-batch lag metrics, one grouped pass with
+    conditional aggregates and a 1-row broadcast cutoff."""
+    from tartare_spark.operators.monitor import lag_report
+
+    ch = _events_as_changelog(spark, sf_dir)
+    cut = ch.agg(F.expr("(max(lsn) * 6) div 10").alias("_cutoff"))
+    return lag_report(
+        ch.crossJoin(F.broadcast(cut)), cutoff=F.col("_cutoff"), key="repo"
+    )

@@ -58,6 +58,41 @@ def salted_agg(
     return partial.groupBy(key).agg(*final_aggs)
 
 
+def skew_report(df: DataFrame, key: str, hot_ratio: float = 2.0) -> DataFrame:
+    """O5 — per-key skew diagnostics: the number an operator feeds into
+    its salting decision (``n_salts`` sizing) and the report an on-call
+    reads when one reducer straggles.
+
+    For every key: row count, share of total, ratio vs the mean key, a
+    hot flag at ``ratio ≥ hot_ratio``, and the suggested salt factor
+    (``ceil(ratio)`` — enough salts to spread the key back to ~mean-load
+    reducers; 1 for non-hot keys).
+
+    Plan shape: one map-side-combined groupBy (O(distinct keys) state),
+    then the 2-column totals row joins back via a 1-row broadcast — no
+    second shuffle, no partition-less window.
+    """
+    counts = df.groupBy(key).agg(F.count("*").alias("n_events"))
+    totals = counts.agg(
+        F.sum("n_events").alias("_total"), F.count("*").alias("_nkeys")
+    )
+    ratio = F.col("n_events") * F.col("_nkeys") / F.col("_total")
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            key,
+            "n_events",
+            F.round(F.col("n_events") / F.col("_total"), 6).alias("share"),
+            F.round(ratio, 6).alias("ratio"),
+            (ratio >= F.lit(hot_ratio)).alias("is_hot"),
+            F.when(ratio >= F.lit(hot_ratio), F.ceil(ratio))
+            .otherwise(F.lit(1))
+            .cast("int")
+            .alias("salt_factor"),
+        )
+    )
+
+
 def topk_hot_keys(df: DataFrame, key: str, k: int = 10) -> DataFrame:
     """O1 — top-k keys by row volume (used to size ``n_salts`` and to
     diagnose skew). Plans as partial-agg + TakeOrderedAndProject: only k
