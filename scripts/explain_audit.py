@@ -222,6 +222,9 @@ CHECKS = {
     # window, no data-wide join (the 1-row cutoff broadcast is the
     # only join-shaped node).
     "s17_lag_report": ["HashAggregate", "NOT:Window", "CODEGEN"],
+    # Backfill chunk plan: the rank window must stay bucket-partitioned
+    # (never SinglePartition) — the whole point of the two-phase form.
+    "o6_backfill_ranges": ["Window", "NOT:SinglePartition", "min_by"],
 }
 
 

@@ -3394,3 +3394,50 @@ def s17_lag_report(spark, sf_dir):
     return lag_report(
         ch.crossJoin(F.broadcast(cut)), cutoff=F.col("_cutoff"), key="repo"
     )
+
+
+_O6_SQL = _CH_CTE + """, last AS (
+  SELECT repo, path, arg_max(op, lsn) AS op
+  FROM ch GROUP BY repo, path
+), st AS (
+  SELECT repo, path FROM last WHERE op <> 'delete'
+), r AS (
+  SELECT repo, path,
+         ntile(6) OVER (ORDER BY repo, path) AS chunk_id,
+         row_number() OVER (ORDER BY repo, path) AS rk
+  FROM st
+)
+SELECT CAST(chunk_id AS BIGINT) AS chunk_id,
+       arg_min(repo, rk) AS lo_repo, arg_min(path, rk) AS lo_path,
+       arg_max(repo, rk) AS hi_repo, arg_max(path, rk) AS hi_path,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM r GROUP BY chunk_id
+"""
+
+
+@demo("o6_backfill_ranges", _O6_SQL)
+def o6_backfill_ranges(spark, sf_dir):
+    """Balanced parallel-backfill chunk plan (DMS / Debezium
+    incremental-snapshot shape): the current LWW key space split into 6
+    contiguous (repo, path) ranges of near-equal row count, each with
+    inclusive lo/hi boundaries — the chunk table a parallel re-sync
+    copies concurrently. Uniform-width ranges would inherit key skew;
+    this is the exact NTILE split of the exact two-phase global rank
+    (no SinglePartition window), boundaries via min_by/max_by on the
+    rank so the composite order is respected. The oracle is the naive
+    global-window plan."""
+    from tartare_spark.operators.dedup import dedup_latest_lsn
+    from tartare_spark.operators.sort import backfill_ranges
+
+    ch = _events_as_changelog(spark, sf_dir)
+    st = (
+        dedup_latest_lsn(ch, keys=["repo", "path"], order_col="lsn")
+        .filter(F.col("op") != "delete")
+        .select("repo", "path")
+    )
+    return backfill_ranges(
+        st,
+        bucket=F.ascii(F.substring("repo", 6, 1)),
+        order_cols=["repo", "path"],
+        n_chunks=6,
+    )

@@ -147,18 +147,65 @@ def global_ntile(
     ranked, total = _global_rank_with_total(
         df, bucket, order_cols, "_gnt_rank", broadcast_threshold
     )
-    q, r = divmod(total, n)
-    rk = F.col("_gnt_rank") - F.lit(1)
-    if q == 0:
-        tile = rk + F.lit(1)
-    else:
-        # integer DIV, not floor(double /): ranks past 2^53 would hit
-        # double rounding on the quotient (same exactness rule as
-        # pack_sequences' offsets); DIV binds tighter than minus —
-        # parenthesize the numerator
-        head = r * (q + 1)
-        tile = F.when(
-            rk < F.lit(head),
-            F.expr(f"((_gnt_rank - 1) DIV {q + 1}) + 1"),
-        ).otherwise(F.expr(f"{r} + ((_gnt_rank - 1 - {head}) DIV {q}) + 1"))
+    tile = _tile_of("_gnt_rank", total, n)
     return ranked.withColumn(tile_col, tile.cast("long")).drop("_gnt_rank")
+
+
+def _tile_of(rank_col: str, total: int, n: int) -> Column:
+    """SQL-NTILE tile of a 1-based global rank (shared by global_ntile
+    and backfill_ranges)."""
+    q, r = divmod(total, n)
+    rk = F.col(rank_col) - F.lit(1)
+    if q == 0:
+        return rk + F.lit(1)
+    # integer DIV, not floor(double /): ranks past 2^53 would hit
+    # double rounding on the quotient (same exactness rule as
+    # pack_sequences' offsets); DIV binds tighter than minus —
+    # parenthesize the numerator
+    head = r * (q + 1)
+    return F.when(
+        rk < F.lit(head),
+        F.expr(f"(({rank_col} - 1) DIV {q + 1}) + 1"),
+    ).otherwise(F.expr(f"{r} + (({rank_col} - 1 - {head}) DIV {q}) + 1"))
+
+
+def backfill_ranges(
+    df: DataFrame,
+    bucket: Column,
+    order_cols: list[str],
+    n_chunks: int,
+    broadcast_threshold: int = 4096,
+) -> DataFrame:
+    """O6 — balanced parallel-backfill chunk plan (the DMS /
+    pt-archiver / Debezium-incremental-snapshot shape): split the keyed
+    table into ``n_chunks`` CONTIGUOUS key ranges of near-equal row
+    count, so a bootstrap or re-sync can copy chunks concurrently with
+    bounded, even task sizes — uniform-width key ranges would inherit
+    the key distribution's skew.
+
+    Returns one row per chunk: ``chunk_id`` (1-based, in key order),
+    ``lo_<col>``/``hi_<col>`` INCLUSIVE boundary values for each order
+    column, and ``n_rows``. Chunk sizes differ by at most 1 (exact SQL
+    NTILE split of the exact global rank).
+
+    Scale shape: the two-phase rank's one bucket-partitioned window
+    (never SinglePartition) plus a groupBy of ≤ n_chunks groups;
+    boundary rows come from min_by/max_by on the rank, so the composite
+    key order is respected (independent per-column min/max would cross
+    rows). ``order_cols`` must be a total order (unique composite key).
+    """
+    if n_chunks < 1:
+        raise ValueError(f"n_chunks must be >= 1, got {n_chunks}")
+    ranked, total = _global_rank_with_total(
+        df, bucket, order_cols, "_bf_rank", broadcast_threshold
+    )
+    tiled = ranked.withColumn(
+        "chunk_id", _tile_of("_bf_rank", total, n_chunks).cast("long")
+    )
+    aggs = []
+    for c in order_cols:
+        aggs.append(F.min_by(c, F.col("_bf_rank")).alias(f"lo_{c}"))
+    for c in order_cols:
+        aggs.append(F.max_by(c, F.col("_bf_rank")).alias(f"hi_{c}"))
+    aggs.append(F.count("*").alias("n_rows"))
+    return tiled.groupBy("chunk_id").agg(*aggs)

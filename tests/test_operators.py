@@ -2272,6 +2272,40 @@ def test_global_ntile_matches_sql_ntile(spark):
         global_ntile(docs, bucket, ["n_chars", "doc_id"], n=0)
 
 
+def test_backfill_ranges_partitions_key_space(spark):
+    """O6 invariants: chunk sizes differ by ≤1 and sum to the table;
+    ranges are contiguous and non-overlapping in composite key order
+    (chunk k's hi < chunk k+1's lo); every row falls inside exactly the
+    chunk whose [lo, hi] bounds contain its key; no SinglePartition."""
+    from tartare_spark.operators.sort import backfill_ranges
+
+    docs = _docs(spark).select("doc_id", "n_chars")
+    total = docs.count()
+    plan_df = backfill_ranges(
+        docs,
+        bucket=F.floor(F.col("n_chars") / 50),
+        order_cols=["n_chars", "doc_id"],
+        n_chunks=7,
+    )
+    chunks = sorted(plan_df.collect(), key=lambda r: r["chunk_id"])
+    assert [c["chunk_id"] for c in chunks] == list(range(1, 8))
+    sizes = [c["n_rows"] for c in chunks]
+    assert sum(sizes) == total and max(sizes) - min(sizes) <= 1
+    # contiguous, ordered, non-overlapping in (n_chars, doc_id) order
+    for a, b in zip(chunks, chunks[1:]):
+        assert (a["hi_n_chars"], a["hi_doc_id"]) < (b["lo_n_chars"], b["lo_doc_id"])
+    # membership: count rows inside each chunk's inclusive bounds
+    rows = sorted((r["n_chars"], r["doc_id"]) for r in docs.collect())
+    for c in chunks:
+        lo, hi = (c["lo_n_chars"], c["lo_doc_id"]), (c["hi_n_chars"], c["hi_doc_id"])
+        assert sum(1 for k in rows if lo <= k <= hi) == c["n_rows"]
+    plan = plan_df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "SinglePartition" not in plan, plan
+    with pytest.raises(ValueError):
+        backfill_ranges(docs, F.lit(0), ["doc_id"], n_chunks=0)
+
+
 def test_leakage_safe_split_coassigns_dup_groups(spark):
     """Every exact-dup group gets exactly ONE split (the leakage-safety
     contract), the representative is the group's min id, and the split
