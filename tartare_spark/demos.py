@@ -3300,10 +3300,10 @@ _O5_SQL = _CH_CTE + """, counts AS (
 )
 SELECT path, CAST(n_events AS BIGINT) AS n_events,
        round(n_events / total, 6) AS share,
-       round(n_events * nkeys / total, 6) AS ratio,
-       n_events * nkeys / total >= 1.2 AS is_hot,
-       CAST(CASE WHEN n_events * nkeys / total >= 1.2
-                 THEN ceil(n_events * nkeys / total) ELSE 1 END AS INT)
+       round(CAST(n_events AS DOUBLE) * nkeys / total, 6) AS ratio,
+       CAST(n_events AS DOUBLE) * nkeys / total >= 1.2 AS is_hot,
+       CAST(CASE WHEN CAST(n_events AS DOUBLE) * nkeys / total >= 1.2
+                 THEN ceil(CAST(n_events AS DOUBLE) * nkeys / total) ELSE 1 END AS INT)
          AS salt_factor
 FROM counts, tot
 """
@@ -3371,7 +3371,7 @@ _S17_SQL = _CH_CTE + """, cut AS (
 )
 SELECT repo,
        max(CASE WHEN lsn <= cutoff THEN lsn END) AS applied_wm,
-       max(lsn) AS repo_max_lsn,
+       max(lsn) AS max_lsn,
        CAST(count(CASE WHEN lsn > cutoff THEN 1 END) AS BIGINT) AS n_pending,
        min(CASE WHEN lsn > cutoff THEN lsn END) AS oldest_pending_lsn,
        max(lsn) - max(CASE WHEN lsn <= cutoff THEN lsn END) AS lag_lsn

@@ -29,9 +29,9 @@ def lag_report(
     below the cutoff counts as applied, everything above as pending.
 
     Returns one row per key: ``applied_wm`` (highest applied LSN, NULL
-    if nothing applied yet), ``repo_max_lsn``, ``n_pending``,
+    if nothing applied yet), ``max_lsn``, ``n_pending``,
     ``oldest_pending_lsn`` (NULL when fully caught up) and ``lag_lsn``
-    (= repo_max_lsn - applied_wm; NULL while nothing is applied — a
+    (= max_lsn - applied_wm; NULL while nothing is applied — a
     bootstrap-pending key is "infinitely" behind, not 0 behind).
     """
     cut = F.lit(cutoff) if isinstance(cutoff, int) else cutoff
@@ -39,7 +39,7 @@ def lag_report(
     applied = F.max(F.when(lcol <= cut, lcol))
     return df.groupBy(key).agg(
         applied.alias("applied_wm"),
-        F.max(lcol).alias("repo_max_lsn"),
+        F.max(lcol).alias("max_lsn"),
         F.count(F.when(lcol > cut, F.lit(1))).alias("n_pending"),
         F.min(F.when(lcol > cut, lcol)).alias("oldest_pending_lsn"),
         (F.max(lcol) - applied).alias("lag_lsn"),

@@ -76,7 +76,12 @@ def skew_report(df: DataFrame, key: str, hot_ratio: float = 2.0) -> DataFrame:
     totals = counts.agg(
         F.sum("n_events").alias("_total"), F.count("*").alias("_nkeys")
     )
-    ratio = F.col("n_events") * F.col("_nkeys") / F.col("_total")
+    # cast to double BEFORE the multiply: n_events * nkeys in long
+    # arithmetic wraps past 2^63 exactly for the dominant keys this
+    # report exists to flag (10^9 keys × a ~10^10-row hot key); the
+    # double product is approximate but monotone, and the DuckDB
+    # oracle mirrors the same op order bit-exactly
+    ratio = F.col("n_events").cast("double") * F.col("_nkeys") / F.col("_total")
     return (
         counts.crossJoin(F.broadcast(totals))
         .select(

@@ -31,11 +31,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
 
-def _slot(key: Column, depth: int, width: int) -> Column:
-    """Row ``depth``'s slot for ``key``: first 8 md5 hex chars (32 bits,
-    non-negative in a long) mod width."""
+def _slot(key: Column, row: int, width: int) -> Column:
+    """Sketch row ``row``'s slot for ``key`` (``row`` is a single row
+    INDEX in 0..depth-1, not the depth count): first 8 md5 hex chars
+    (32 bits, non-negative in a long) mod width."""
     h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{depth}|"), key)), 1, 8), 16, 10
+        F.substring(F.md5(F.concat(F.lit(f"{row}|"), key)), 1, 8), 16, 10
     ).cast("long")
     return (h % F.lit(width)).alias("slot")
 
