@@ -207,6 +207,113 @@ def run_stream(
     return writer.start()
 
 
+def run_stream_multi(
+    spark: SparkSession,
+    events_dir: str,
+    lakes: dict[str, LakeTable],
+    checkpoint_dir: str,
+    route="repo",
+    registry=None,
+    max_files_per_trigger: int | None = 20,
+    available_now: bool = True,
+    await_termination: bool = True,
+    manifest_fence: bool = False,
+    fence_lateness: int = 0,
+    strict: bool = True,
+):
+    """S18 — ONE binlog tail fanned into MULTIPLE lake tables in a
+    single query (Debezium topic-per-table / server-level connector
+    shape): each event routes by the ``route`` column (a name or any
+    Column expression over the event row) to the lake registered under
+    that value in ``lakes``.
+
+    Exactly-once is PER TABLE and rides each lake's own batch_id claim
+    (S7): tables are applied in sorted-name order inside one
+    foreachBatch, so a crash between two tables' applies redelivers
+    the whole micro-batch with the same epoch — already-applied tables
+    skip (idempotent claim), the rest catch up. No cross-table
+    transaction is claimed: readers of table A may observe a batch
+    before readers of table B (the same contract Debezium gives across
+    topics).
+
+    Events whose route value has no registered lake either fail the
+    query loudly (``strict=True`` — a binlog containing a table you
+    forgot to register is a deployment bug) or are dead-lettered to
+    ``<checkpoint_dir>/_unrouted/epoch=<n>/`` (``strict=False``,
+    overwrite-by-epoch so redelivery never duplicates).
+
+    Scale shape: the batch is persisted once, then each table's apply
+    filters it (N bounded-size passes over cached rows — N = number of
+    tables, not data-sized); per-table applies keep their own
+    single-shuffle MOR plan. At a 1000-table fan-out you'd shard
+    tables across queries; within a query the loop is the standard
+    Debezium sink shape.
+    """
+    if not lakes:
+        raise ValueError("run_stream_multi: no lakes registered")
+    rcol = F.col(route) if isinstance(route, str) else route
+    reader = spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(events_dir)
+
+    # captured once per run, like run_stream's single-table offset:
+    # immutable after bootstrap, and checkpoint resumes renumber epochs
+    # identically, so per-table idempotent-skip survives crashes
+    offsets = {name: lk.stream_batch_offset() for name, lk in lakes.items()}
+    names = sorted(lakes)
+
+    def _apply(batch_df, epoch: int):
+        cached = batch_df.persist()
+        try:
+            tagged = cached.withColumn("_route", rcol)
+            known = tagged.filter(F.col("_route").isin(names))
+            unrouted = tagged.filter(
+                ~F.coalesce(F.col("_route").isin(names), F.lit(False))
+            )
+            n_unrouted = unrouted.count()
+            if n_unrouted:
+                if strict:
+                    bad = [
+                        r[0]
+                        for r in unrouted.select("_route").distinct().limit(5).collect()
+                    ]
+                    raise ValueError(
+                        f"run_stream_multi: {n_unrouted} events routed to "
+                        f"unregistered table(s) {bad} — register them in "
+                        "`lakes` or pass strict=False to dead-letter"
+                    )
+                unrouted.drop("_route").write.mode("overwrite").parquet(
+                    os.path.join(checkpoint_dir, "_unrouted", f"epoch={epoch}")
+                )
+            for name in names:
+                apply_batch(
+                    spark,
+                    lakes[name],
+                    known.filter(F.col("_route") == name).drop("_route"),
+                    epoch + offsets[name],
+                    registry=registry,
+                    lsn_fence="manifest" if manifest_fence else None,
+                    fence_lateness=fence_lateness,
+                )
+        finally:
+            cached.unpersist()
+
+    writer = (
+        src.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName(f"tartare-cdc-multi-{uuid.uuid4().hex[:8]}")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="1 second")
+    query = writer.start()
+    if await_termination:
+        query.awaitTermination()
+    return query
+
+
 class _ProgressLogger(StreamingQueryListener):
     """StreamingQueryListener that appends each progress event as it
     arrives (no recentProgress cap). Tracks (queryId, batchId) pairs so

@@ -6,7 +6,12 @@ import pandas as pd
 from pyspark.sql import functions as F
 import pytest
 
-from tartare_spark.fixtures import UNIT, generate_change_events, registry_rows
+from tartare_spark.fixtures import (
+    CHANGE_EVENT_COLUMNS,
+    UNIT,
+    generate_change_events,
+    registry_rows,
+)
 from tartare_spark.lake.table import LakeTable
 from tartare_spark.oracle import replay_referee
 from tartare_spark.registry import SchemaRegistry
@@ -478,3 +483,128 @@ def test_bootstrap_then_streaming_tail(spark, unit_events_dir, tmp_path):
     assert applied and min(applied) == 1
     no_reg = replay_referee(pd.DataFrame(generate_change_events(UNIT)), None)
     _assert_matches(spark, lake, None, no_reg)
+
+
+# ---------------------------------------------------------------- S18
+def _parity_route():
+    return F.when(
+        F.substring("repo", 6, 4).cast("int") % 2 == 0, "t_even"
+    ).otherwise("t_odd")
+
+
+def _parity_expected(even: bool):
+    ev = pd.DataFrame(generate_change_events(UNIT))
+    mask = (ev["repo"].str[5:].astype(int) % 2 == 0) == even
+    return replay_referee(ev[mask].copy(), registry_rows(UNIT))
+
+
+def test_multi_table_tail_matches_referee(spark, unit_events_dir, tmp_path):
+    """S18: one binlog tail fanned into two lake tables by a route
+    expression — each table's final state equals the referee replay of
+    its own slice, and redelivery with a fresh checkpoint is a no-op on
+    BOTH tables (per-table exactly-once)."""
+    from tartare_spark.streaming.runner import run_stream_multi
+
+    lakes = {
+        "t_even": LakeTable.create(str(tmp_path / "even"), num_buckets=8),
+        "t_odd": LakeTable.create(str(tmp_path / "odd"), num_buckets=8),
+    }
+    reg = SchemaRegistry(registry_rows(UNIT))
+    run_stream_multi(
+        spark, unit_events_dir, lakes, str(tmp_path / "ck"),
+        route=_parity_route(), registry=reg, max_files_per_trigger=7,
+    )
+    for name, even in (("t_even", True), ("t_odd", False)):
+        _assert_matches(spark, lakes[name], reg, _parity_expected(even))
+    # redelivery (fresh checkpoint, same input): every epoch's claim is
+    # already held per table → versions unchanged on both
+    before = {n: lk.current_version() for n, lk in lakes.items()}
+    run_stream_multi(
+        spark, unit_events_dir, lakes, str(tmp_path / "ck_fresh"),
+        route=_parity_route(), registry=reg, max_files_per_trigger=7,
+    )
+    assert {n: lk.current_version() for n, lk in lakes.items()} == before
+    for name, even in (("t_even", True), ("t_odd", False)):
+        _assert_matches(spark, lakes[name], reg, _parity_expected(even))
+
+
+def test_multi_table_partial_crash_resumes_exactly_once(
+    spark, unit_events_dir, tmp_path, monkeypatch
+):
+    """A crash BETWEEN two tables' applies (first table committed,
+    second not) redelivers the micro-batch on restart: the committed
+    table's claim skips it, the crashed table catches up — both
+    converge to the referee with no double-apply."""
+    from tartare_spark.streaming import runner as runner_mod
+    from tartare_spark.streaming.runner import run_stream_multi
+
+    lakes = {
+        "t_even": LakeTable.create(str(tmp_path / "even"), num_buckets=8),
+        "t_odd": LakeTable.create(str(tmp_path / "odd"), num_buckets=8),
+    }
+    reg = SchemaRegistry(registry_rows(UNIT))
+    real_apply = runner_mod.apply_batch
+    state = {"tripped": False}
+
+    def faulty_apply(spark_, lake_, events, batch_id, **kw):
+        # crash ONCE, on t_odd's apply of epoch >= 1 (t_even, sorted
+        # first, has already committed that epoch)
+        if (
+            not state["tripped"]
+            and lake_.root.endswith("odd")
+            and batch_id >= 1
+        ):
+            state["tripped"] = True
+            raise RuntimeError("injected crash between table applies")
+        return real_apply(spark_, lake_, events, batch_id, **kw)
+
+    monkeypatch.setattr(runner_mod, "apply_batch", faulty_apply)
+    with pytest.raises(Exception, match="injected crash"):
+        run_stream_multi(
+            spark, unit_events_dir, lakes, str(tmp_path / "ck"),
+            route=_parity_route(), registry=reg, max_files_per_trigger=7,
+        )
+    assert state["tripped"]
+    assert lakes["t_even"].current_version() > lakes["t_odd"].current_version()
+    # resume from the SAME checkpoint: Spark redelivers the crashed
+    # epoch; t_even skips (claim held), t_odd applies, both catch up
+    run_stream_multi(
+        spark, unit_events_dir, lakes, str(tmp_path / "ck"),
+        route=_parity_route(), registry=reg, max_files_per_trigger=7,
+    )
+    for name, even in (("t_even", True), ("t_odd", False)):
+        _assert_matches(spark, lakes[name], reg, _parity_expected(even))
+
+
+def test_multi_table_unrouted_strict_and_deadletter(
+    spark, unit_events_dir, tmp_path
+):
+    """Events routed to an unregistered table fail the query loudly
+    under strict=True; under strict=False they are dead-lettered
+    (overwrite-by-epoch) and the registered table still converges."""
+    from tartare_spark.streaming.runner import run_stream_multi
+
+    reg = SchemaRegistry(registry_rows(UNIT))
+    only_even = {"t_even": LakeTable.create(str(tmp_path / "e1"), num_buckets=8)}
+    with pytest.raises(Exception, match="unregistered table"):
+        run_stream_multi(
+            spark, unit_events_dir, only_even, str(tmp_path / "ck_strict"),
+            route=_parity_route(), registry=reg,
+        )
+
+    only_even2 = {"t_even": LakeTable.create(str(tmp_path / "e2"), num_buckets=8)}
+    ck = str(tmp_path / "ck_dl")
+    run_stream_multi(
+        spark, unit_events_dir, only_even2, ck,
+        route=_parity_route(), registry=reg, strict=False,
+        max_files_per_trigger=7,
+    )
+    _assert_matches(spark, only_even2["t_even"], reg, _parity_expected(True))
+    dl = spark.read.parquet(str(tmp_path / "ck_dl" / "_unrouted" / "epoch=*"))
+    odd_total = int((pd.DataFrame(generate_change_events(UNIT))["repo"]
+                     .str[5:].astype(int) % 2 == 1).sum())
+    assert dl.count() == odd_total
+    assert set(dl.columns) == set(CHANGE_EVENT_COLUMNS)
+
+    with pytest.raises(ValueError, match="no lakes"):
+        run_stream_multi(spark, unit_events_dir, {}, str(tmp_path / "ck0"))
