@@ -266,17 +266,28 @@ def run_stream_multi(
     def _apply(batch_df, epoch: int):
         cached = batch_df.persist()
         try:
-            tagged = cached.withColumn("_route", rcol)
-            known = tagged.filter(F.col("_route").isin(names))
-            unrouted = tagged.filter(
-                ~F.coalesce(F.col("_route").isin(names), F.lit(False))
+            # unknown routes collapse to one sentinel BEFORE the count
+            # collect, so the driver sees ≤ len(lakes)+1 rows even if a
+            # buggy route expression emits unbounded distinct garbage
+            tagged = cached.withColumn(
+                "_route",
+                F.when(
+                    F.coalesce(rcol.isin(names), F.lit(False)), rcol
+                ).otherwise(F.lit("__unrouted__")),
             )
-            n_unrouted = unrouted.count()
+            counts = {
+                r["_route"]: r["n"]
+                for r in tagged.groupBy("_route").agg(
+                    F.count("*").alias("n")
+                ).collect()
+            }
+            n_unrouted = counts.get("__unrouted__", 0)
             if n_unrouted:
+                unrouted = tagged.filter(F.col("_route") == "__unrouted__")
                 if strict:
                     bad = [
                         r[0]
-                        for r in unrouted.select("_route").distinct().limit(5).collect()
+                        for r in unrouted.select(rcol).distinct().limit(5).collect()
                     ]
                     raise ValueError(
                         f"run_stream_multi: {n_unrouted} events routed to "
@@ -287,10 +298,16 @@ def run_stream_multi(
                     os.path.join(checkpoint_dir, "_unrouted", f"epoch={epoch}")
                 )
             for name in names:
+                # sparse routing is the Debezium norm (most tables idle
+                # per micro-batch): skip zero-row slices — an empty
+                # apply never commits or bumps last_batch_id, so claim
+                # semantics are identical, minus N-1 no-op job pipelines
+                if not counts.get(name):
+                    continue
                 apply_batch(
                     spark,
                     lakes[name],
-                    known.filter(F.col("_route") == name).drop("_route"),
+                    tagged.filter(F.col("_route") == name).drop("_route"),
                     epoch + offsets[name],
                     registry=registry,
                     lsn_fence="manifest" if manifest_fence else None,
@@ -299,19 +316,31 @@ def run_stream_multi(
         finally:
             cached.unpersist()
 
+    query_name = f"tartare-cdc-multi-{uuid.uuid4().hex[:8]}"
     writer = (
         src.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_dir)
-        .queryName(f"tartare-cdc-multi-{uuid.uuid4().hex[:8]}")
+        .queryName(query_name)
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:
         writer = writer.trigger(processingTime="1 second")
-    query = writer.start()
     if await_termination:
-        query.awaitTermination()
-    return query
+        # T7 parity with run_stream's managed path: the fan-out query's
+        # per-batch progress lands next to its checkpoint (it has no
+        # single owning lake)
+        progress_path = os.path.join(checkpoint_dir, "_progress.jsonl")
+        listener = _ProgressLogger(progress_path, query_name=query_name)
+        spark.streams.addListener(listener)
+        try:
+            query = writer.start()
+            query.awaitTermination()
+        finally:
+            spark.streams.removeListener(listener)
+        _dump_progress_to(query, progress_path, seen=listener.seen)
+        return query
+    return writer.start()
 
 
 class _ProgressLogger(StreamingQueryListener):
@@ -352,15 +381,21 @@ class _ProgressLogger(StreamingQueryListener):
 
 def dump_progress(query, lake: LakeTable, seen: set | None = None) -> int:
     """Append the query's ``recentProgress`` JSON to the lake's metrics
-    dir (progress.jsonl), skipping (queryId, batchId) pairs already
-    written by the live listener. Returns the number of records
-    written. Note recentProgress alone is capped at the last
-    ~spark.sql.streaming.numRecentProgressUpdates (default 100) batches
-    — the listener is the complete record."""
+    dir (progress.jsonl) — see :func:`_dump_progress_to`."""
+    return _dump_progress_to(
+        query, os.path.join(lake.root, "_metrics", "progress.jsonl"), seen
+    )
+
+
+def _dump_progress_to(query, path: str, seen: set | None = None) -> int:
+    """Append the query's ``recentProgress`` JSON to ``path``, skipping
+    (queryId, batchId) pairs already written by the live listener.
+    Returns the number of records written. Note recentProgress alone is
+    capped at the last ~spark.sql.streaming.numRecentProgressUpdates
+    (default 100) batches — the listener is the complete record."""
     import json
 
     seen = set(seen or ())
-    path = os.path.join(lake.root, "_metrics", "progress.jsonl")
     # also dedupe against what is already ON DISK: an in-flight listener
     # write landing between our seen-snapshot and this reconcile would
     # otherwise be appended twice.

@@ -516,6 +516,11 @@ def test_multi_table_tail_matches_referee(spark, unit_events_dir, tmp_path):
     )
     for name, even in (("t_even", True), ("t_odd", False)):
         _assert_matches(spark, lakes[name], reg, _parity_expected(even))
+    # T7 parity: the fan-out query records per-batch progress next to
+    # its checkpoint (it has no single owning lake)
+    import os
+
+    assert os.path.getsize(str(tmp_path / "ck" / "_progress.jsonl")) > 0
     # redelivery (fresh checkpoint, same input): every epoch's claim is
     # already held per table → versions unchanged on both
     before = {n: lk.current_version() for n, lk in lakes.items()}
