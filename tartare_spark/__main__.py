@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -77,6 +78,49 @@ def cmd_replay(args) -> int:
                 "batches_applied": len(m),
                 "rows_applied": applied,
             }
+        )
+    )
+    return 0
+
+
+def cmd_replay_multi(args) -> int:
+    """S18: one change-event tail fanned into N lake tables under
+    --lakes-root/<table>, routed by the --route column."""
+    from tartare_spark.lake.table import LakeTable
+    from tartare_spark.registry import SchemaRegistry
+    from tartare_spark.streaming.runner import run_stream_multi
+
+    spark = _spark(args)
+    tables = [t for t in args.tables.split(",") if t]
+    if not tables:
+        print("replay-multi requires --tables t1,t2,...", file=sys.stderr)
+        return 2
+    lakes = {}
+    for t in tables:
+        root = os.path.join(args.lakes_root, t)
+        if args.create and not LakeTable.exists(root):
+            lakes[t] = LakeTable.create(root, num_buckets=args.buckets, mode=args.mode)
+        else:
+            lakes[t] = LakeTable(root)
+    registry = None
+    if args.registry:
+        with open(args.registry) as f:
+            registry = SchemaRegistry(json.load(f))
+    run_stream_multi(
+        spark,
+        args.events,
+        lakes,
+        args.checkpoint,
+        route=args.route,
+        registry=registry,
+        max_files_per_trigger=args.max_files_per_trigger,
+        manifest_fence=args.manifest_fence,
+        fence_lateness=args.fence_lateness,
+        strict=not args.dead_letter,
+    )
+    print(
+        json.dumps(
+            {t: {"lake_version": lk.current_version()} for t, lk in lakes.items()}
         )
     )
     return 0
@@ -374,6 +418,30 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--compact-async", action="store_true",
                    help="run tripped compactions on the maintenance thread instead of between triggers")
     r.set_defaults(fn=cmd_replay)
+
+    rm = sub.add_parser(
+        "replay-multi",
+        help="tail ONE change-event dir into MULTIPLE lake tables "
+        "(Debezium topic-per-table; per-table exactly-once)",
+    )
+    rm.add_argument("--events", required=True)
+    rm.add_argument("--lakes-root", required=True,
+                    help="parent dir; each table lives at <lakes-root>/<table>")
+    rm.add_argument("--tables", required=True,
+                    help="comma-separated table names (= route column values)")
+    rm.add_argument("--route", default="repo",
+                    help="event column whose value names the target table")
+    rm.add_argument("--checkpoint", required=True)
+    rm.add_argument("--registry", help="JSON file of schema-registry rows")
+    rm.add_argument("--create", action="store_true", help="create absent lakes")
+    rm.add_argument("--buckets", type=int, default=64)
+    rm.add_argument("--mode", choices=["mor", "cow"], default="mor")
+    rm.add_argument("--max-files-per-trigger", type=int, default=16)
+    rm.add_argument("--manifest-fence", action="store_true")
+    rm.add_argument("--fence-lateness", type=int, default=0)
+    rm.add_argument("--dead-letter", action="store_true",
+                    help="dead-letter unrouted events instead of failing the query")
+    rm.set_defaults(fn=cmd_replay_multi)
 
     s = sub.add_parser("snapshot", help="read the live snapshot (or a past version)")
     s.add_argument("--lake", required=True)

@@ -226,3 +226,51 @@ def test_cli_branch_requires_name(spark, unit_events_dir, tmp_path, capsys):
     rc = main(["branch", "create", "--lake", lake_dir])
     assert rc == 2
     assert "requires --name" in capsys.readouterr().err
+
+
+def test_cli_replay_multi(spark, unit_events_dir, tmp_path, capsys):
+    """S18 CLI: route by repo into per-repo tables — register ALL repo
+    values (UNIT has 20 repos), then check two tables' states against
+    the library snapshot."""
+    import pandas as pd
+
+    ev = pd.DataFrame(generate_change_events(UNIT))
+    tables = sorted(ev["repo"].unique())
+    rc = main(
+        [
+            "replay-multi",
+            "--events", f"{unit_events_dir}",
+            "--lakes-root", str(tmp_path / "lakes"),
+            "--tables", ",".join(tables),
+            "--route", "repo",
+            "--checkpoint", str(tmp_path / "ck"),
+            "--create",
+            "--buckets", "4",
+            "--max-files-per-trigger", "7",
+        ]
+    )
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0
+    rep = json.loads(out)
+    assert set(rep) == set(tables)
+    # spot-check: each per-repo lake holds exactly that repo's LWW keys
+    from tartare_spark.oracle import replay_referee
+    from tartare_spark.fixtures import registry_rows
+
+    for t in tables[:2]:
+        lake = LakeTable(str(tmp_path / "lakes" / t))
+        exp = replay_referee(ev[ev["repo"] == t].copy(), registry_rows(UNIT))
+        assert lake.snapshot(spark).count() == len(exp)
+
+    # missing --tables value → usage error
+    rc = main(
+        [
+            "replay-multi",
+            "--events", f"{unit_events_dir}",
+            "--lakes-root", str(tmp_path / "lakes2"),
+            "--tables", "",
+            "--checkpoint", str(tmp_path / "ck2"),
+        ]
+    )
+    capsys.readouterr()
+    assert rc == 2
