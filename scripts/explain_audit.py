@@ -225,6 +225,15 @@ CHECKS = {
     # Backfill chunk plan: the rank window must stay bucket-partitioned
     # (never SinglePartition) — the whole point of the two-phase form.
     "o6_backfill_ranges": ["Window", "NOT:SinglePartition", "min_by"],
+    # Cell diff: ONE key-equi full-outer join (any equi strategy), the
+    # changed-column list a codegen projection — no cartesian, no
+    # window, no per-column job shape.
+    "u4_cell_diff": [
+        "ANY:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin",
+        "FullOuter",
+        "NOT:CartesianProduct",
+        "NOT:Window",
+    ],
 }
 
 

@@ -3441,3 +3441,105 @@ def o6_backfill_ranges(spark, sf_dir):
         order_cols=["repo", "path"],
         n_chunks=6,
     )
+
+
+_U4_SQL = _CH_CTE + """, cut AS (
+  SELECT (max(lsn) * 6) // 10 AS cutoff FROM ch
+), old_last AS (
+  SELECT repo, path, arg_max(op, lsn) AS op,
+         arg_max("commit", lsn) AS "commit", arg_max(content, lsn) AS content
+  FROM ch, cut WHERE lsn <= cutoff GROUP BY repo, path
+), old_st AS (
+  SELECT repo, path, "commit", content FROM old_last WHERE op <> 'delete'
+), new_last AS (
+  SELECT repo, path, arg_max(op, lsn) AS op,
+         arg_max("commit", lsn) AS "commit", arg_max(content, lsn) AS content
+  FROM ch GROUP BY repo, path
+), new_st AS (
+  SELECT repo, path, "commit", content FROM new_last WHERE op <> 'delete'
+), j AS (
+  SELECT COALESCE(o.repo, n.repo) AS repo,
+         COALESCE(o.path, n.path) AS path,
+         CASE WHEN o.repo IS NULL THEN 'insert'
+              WHEN n.repo IS NULL THEN 'delete'
+              ELSE 'update' END AS op,
+         CASE WHEN o.repo IS NOT NULL AND n.repo IS NOT NULL THEN
+           list_concat(
+             CASE WHEN o."commit" IS DISTINCT FROM n."commit"
+                  THEN ['commit'] ELSE [] END,
+             CASE WHEN o.content IS DISTINCT FROM n.content
+                  THEN ['content'] ELSE [] END)
+         ELSE [] END AS changed_cols
+  FROM old_st o FULL OUTER JOIN new_st n
+    ON o.repo = n.repo AND o.path = n.path
+)
+SELECT repo, path, op, changed_cols FROM j
+WHERE op <> 'update' OR len(changed_cols) > 0
+"""
+
+
+@demo("u4_cell_diff", _U4_SQL)
+def u4_cell_diff(spark, sf_dir):
+    """Column-granular CDC audit diff: the LWW state at a mid-replay
+    checkpoint (60% of max LSN) vs the final state — one row per key
+    that changed, with op insert/delete/update and the exact columns
+    that differ (null-safe). S16's checksum localizes a replica
+    mismatch to a bucket; this names the key and the columns. One
+    full-outer join + a codegen changed-column projection, O(diffs)
+    output."""
+    from tartare_spark.operators.dedup import dedup_latest_lsn
+    from tartare_spark.operators.diff import cell_diff
+
+    ch = _events_as_changelog(spark, sf_dir)
+    cut = ch.agg(F.expr("(max(lsn) * 6) div 10").alias("_cutoff"))
+    old_ev = ch.crossJoin(F.broadcast(cut)).filter(F.col("lsn") <= F.col("_cutoff"))
+    old_st = (
+        dedup_latest_lsn(old_ev, keys=["repo", "path"], order_col="lsn")
+        .filter(F.col("op") != "delete")
+        .select("repo", "path", "commit", "content")
+    )
+    new_st = (
+        dedup_latest_lsn(ch, keys=["repo", "path"], order_col="lsn")
+        .filter(F.col("op") != "delete")
+        .select("repo", "path", "commit", "content")
+    )
+    return cell_diff(old_st, new_st, keys=["repo", "path"], cols=["commit", "content"])
+
+
+@demo("s19_incremental_publish", _CDC_SQL)
+def s19_incremental_publish(spark, sf_dir):
+    """Incremental export publish end-to-end: replay 60% of the
+    changelog, FULL-publish the export, replay the remaining 40%, then
+    incrementally publish — only the partitions whose keys changed are
+    rewritten (dynamic partition overwrite over a hash-partitioned
+    layout; the change feed supplies the dirty set at O(changed rows)).
+    Returns the re-read export, which must equal the full LWW state —
+    tartare's "re-export affected coverages" as an incremental
+    operator."""
+    import shutil
+
+    from tartare_spark.lake.table import LakeTable
+    from tartare_spark.operators.apply import replay_batches
+    from tartare_spark.operators.publish import (
+        publish_incremental,
+        read_incremental_export,
+    )
+
+    ch = _events_as_changelog(spark, sf_dir)
+    cut = ch.agg(F.expr("(max(lsn) * 6) div 10").alias("_cutoff"))
+    tagged = ch.crossJoin(F.broadcast(cut))
+    old_ev = tagged.filter(F.col("lsn") <= F.col("_cutoff")).drop("_cutoff")
+    new_ev = tagged.filter(F.col("lsn") > F.col("_cutoff")).drop("_cutoff")
+
+    root = os.path.join(tempfile.gettempdir(), f"tartare_s19_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    lake = LakeTable.create(os.path.join(root, "lake"), num_buckets=16)
+    out = os.path.join(root, "export")
+    replay_batches(spark, lake, old_ev, num_chunks=2)
+    assert publish_incremental(spark, lake, out, num_parts=16)["mode"] == "full"
+    replay_batches(spark, lake, new_ev, num_chunks=2, start_batch_id=2)
+    rep = publish_incremental(spark, lake, out, num_parts=16)
+    assert rep["mode"] == "incremental", rep
+    return read_incremental_export(spark, out).select(
+        "repo", "path", "commit", "content", "_lsn", "_content_sha"
+    )

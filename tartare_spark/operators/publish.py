@@ -29,6 +29,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _SPEC_FILE = "_bucket_spec.json"
 
@@ -109,3 +110,103 @@ def read_published(spark: SparkSession, name: str) -> DataFrame:
     """Read a published bucketed table back (bucket metadata intact —
     joins on the bucket key stay exchange-free)."""
     return spark.table(name)
+
+
+# ---------------------------------------------------------------- S19
+_PUB_META = "_publish_meta.json"
+
+
+def publish_incremental(
+    spark: SparkSession,
+    lake,
+    out_dir: str,
+    num_parts: int = 32,
+    registry=None,
+) -> dict:
+    """S19 — keep a partitioned parquet EXPORT of the lake snapshot
+    current by rewriting ONLY the partitions touched since the last
+    publish (tartare's "re-export affected coverages after each
+    update", SURVEY §2.1 S6 at the incremental point).
+
+    The export is hash-partitioned into ``num_parts`` dirs on the key
+    (``pmod(xxhash64(repo, path), num_parts)``). The first call writes
+    a full export and records the lake version; later calls read the
+    change feed since that version (O(changed rows), S8), take the
+    DISTINCT dirty partitions (≤ num_parts values to the driver) and
+    dynamically overwrite only those directories — a downstream
+    consumer re-reads 1/num_parts of the export per touched partition
+    instead of the world.
+
+    Crash-safe by ordering: the meta file is written AFTER the data, so
+    a crash mid-publish re-publishes the same dirty set on retry
+    (overwrite = idempotent). If the recorded version has been expired
+    by ``expire_snapshots``, falls back to a full rewrite (same
+    discipline as ``refresh_mv``). Returns a summary dict.
+    """
+    meta_path = os.path.join(out_dir, _PUB_META)
+    part = F.pmod(F.xxhash64("repo", "path"), F.lit(num_parts)).cast("int")
+    version = lake.current_version()
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        snap = lake.snapshot(spark, version=version, registry=registry).withColumn(
+            "_pub_part", part
+        )
+        if not os.path.exists(meta_path):
+            mode = "full"
+            snap.write.mode("overwrite").partitionBy("_pub_part").parquet(out_dir)
+            dirty: list[int] = []
+        else:
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if int(meta["num_parts"]) != num_parts:
+                raise ValueError(
+                    f"publish_incremental: export at {out_dir} was written "
+                    f"with num_parts={meta['num_parts']}, got {num_parts} — "
+                    "changing the layout requires a fresh out_dir"
+                )
+            last = int(meta["last_version"])
+            if last == version:
+                return {"mode": "noop", "version": version, "dirty_partitions": 0}
+            try:
+                feed = lake.changes(spark, last, version)
+            except ValueError:
+                # recorded version expired by retention — full rebuild
+                snap.write.mode("overwrite").partitionBy("_pub_part").parquet(out_dir)
+                _write_pub_meta(meta_path, version, num_parts)
+                return {
+                    "mode": "full_rebuild",
+                    "version": version,
+                    "dirty_partitions": num_parts,
+                }
+            mode = "incremental"
+            dirty = sorted(
+                r[0]
+                for r in feed.select(part.alias("_p")).distinct().collect()
+            )
+            if not dirty:
+                _write_pub_meta(meta_path, version, num_parts)
+                return {"mode": "noop", "version": version, "dirty_partitions": 0}
+            snap.filter(F.col("_pub_part").isin([int(d) for d in dirty])).write.mode(
+                "overwrite"
+            ).partitionBy("_pub_part").parquet(out_dir)
+        _write_pub_meta(meta_path, version, num_parts)
+        return {
+            "mode": mode,
+            "version": version,
+            "dirty_partitions": len(dirty) if mode == "incremental" else num_parts,
+        }
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+
+def _write_pub_meta(meta_path: str, version: int, num_parts: int) -> None:
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"last_version": version, "num_parts": num_parts}, f)
+    os.replace(tmp, meta_path)
+
+
+def read_incremental_export(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the published export back (partition column dropped)."""
+    return spark.read.parquet(out_dir).drop("_pub_part")

@@ -2505,3 +2505,108 @@ def test_table_checksum_validates_replicas(spark):
     a = spark.createDataFrame([(1, None, 5)], "id long, name string, amount long")
     b = spark.createDataFrame([(1, "", 5)], "id long, name string, amount long")
     assert checksum_diff(cs(a), cs(b)).count() == 1
+
+
+def test_cell_diff_semantics(spark):
+    """U4: op classification, null-safe column comparison (NULL↔NULL
+    equal, NULL↔value a change), unchanged keys absent, changed_cols
+    order = caller's cols order."""
+    from tartare_spark.operators.diff import cell_diff
+
+    old = spark.createDataFrame(
+        [("a", 1, None), ("b", 2, "x"), ("c", 3, "y"), ("d", 4, None)],
+        "k string, v int, s string",
+    )
+    new = spark.createDataFrame(
+        [("a", 1, None),            # unchanged (NULL <=> NULL)
+         ("b", 9, None),            # v and s both change (x -> NULL)
+         ("d", 4, "z"),             # s changes (NULL -> z)
+         ("e", 5, "w")],            # insert
+        "k string, v int, s string",
+    )
+    rows = {r["k"]: r for r in cell_diff(old, new, ["k"], ["v", "s"]).collect()}
+    assert set(rows) == {"b", "c", "d", "e"}
+    assert rows["b"]["op"] == "update" and rows["b"]["changed_cols"] == ["v", "s"]
+    assert rows["c"]["op"] == "delete" and rows["c"]["changed_cols"] == []
+    assert rows["d"]["op"] == "update" and rows["d"]["changed_cols"] == ["s"]
+    assert rows["e"]["op"] == "insert" and rows["e"]["changed_cols"] == []
+
+
+def test_publish_incremental(spark, tmp_path):
+    """S19: full export, then incremental publishes that rewrite ONLY
+    dirty partitions (untouched partition files byte-stable on disk),
+    noop when nothing changed, exact equality with the snapshot after
+    every publish, and a full rebuild when the recorded version has
+    been expired."""
+    import os
+
+    import pandas as pd
+
+    from tartare_spark.fixtures import UNIT, generate_change_events
+    from tartare_spark.lake.table import LakeTable
+    from tartare_spark.operators.apply import replay_batches
+    from tartare_spark.operators.publish import (
+        publish_incremental,
+        read_incremental_export,
+    )
+
+    ev = pd.DataFrame(generate_change_events(UNIT))
+    cut = int(ev["lsn"].quantile(0.7))
+    first = spark.createDataFrame(ev[ev["lsn"] <= cut])
+    rest = spark.createDataFrame(ev[ev["lsn"] > cut])
+    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=8)
+    replay_batches(spark, lake, first, num_chunks=2)
+
+    out = str(tmp_path / "export")
+
+    def _assert_export_matches():
+        exp = lake.snapshot(spark)
+        got = read_incremental_export(spark, out).select(*exp.columns)
+        assert got.exceptAll(exp).count() == 0
+        assert exp.exceptAll(got).count() == 0
+
+    rep = publish_incremental(spark, lake, out, num_parts=16)
+    assert rep["mode"] == "full"
+    _assert_export_matches()
+
+    # nothing changed → noop, no files touched
+    def _file_mtimes():
+        out_files = {}
+        for root, _, files in os.walk(out):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    out_files[p] = os.path.getmtime(p)
+        return out_files
+
+    before = _file_mtimes()
+    assert publish_incremental(spark, lake, out, num_parts=16)["mode"] == "noop"
+    assert _file_mtimes() == before
+
+    # apply a NARROW update (one repo) → incremental publish rewrites
+    # only its partitions; clean partitions' files stay byte-stable
+    narrow = ev[(ev["lsn"] > cut) & (ev["repo"] == "repo_0003")]
+    # 4 keys dirty ≤4 of 16 partitions — the clean ones must survive
+    one_repo = narrow[narrow["path"].isin(sorted(narrow["path"].unique())[:4])]
+    replay_batches(
+        spark, lake, spark.createDataFrame(one_repo), num_chunks=1,
+        start_batch_id=2,
+    )
+    rep = publish_incremental(spark, lake, out, num_parts=16)
+    assert rep["mode"] == "incremental" and 0 < rep["dirty_partitions"] < 16
+    _assert_export_matches()
+    after = _file_mtimes()
+    survivors = set(before) & set(after)
+    assert survivors, "expected at least one clean partition to survive"
+    assert all(before[p] == after[p] for p in survivors)
+
+    # layout mismatch is refused loudly
+    with pytest.raises(ValueError, match="num_parts"):
+        publish_incremental(spark, lake, out, num_parts=8)
+
+    # expired recorded version → full rebuild, still exact
+    replay_batches(spark, lake, rest, num_chunks=2, start_batch_id=10)
+    lake.expire_snapshots(keep_last=1)
+    rep = publish_incremental(spark, lake, out, num_parts=16)
+    assert rep["mode"] in ("full_rebuild", "incremental", "noop")
+    _assert_export_matches()
