@@ -3492,7 +3492,13 @@ def u4_cell_diff(spark, sf_dir):
 
     ch = _events_as_changelog(spark, sf_dir)
     cut = ch.agg(F.expr("(max(lsn) * 6) div 10").alias("_cutoff"))
-    old_ev = ch.crossJoin(F.broadcast(cut)).filter(F.col("lsn") <= F.col("_cutoff"))
+    # drop the broadcast scalar BEFORE the dedup groupBy, or max_by
+    # carries it through the exchange for every row (s19 does the same)
+    old_ev = (
+        ch.crossJoin(F.broadcast(cut))
+        .filter(F.col("lsn") <= F.col("_cutoff"))
+        .drop("_cutoff")
+    )
     old_st = (
         dedup_latest_lsn(old_ev, keys=["repo", "path"], order_col="lsn")
         .filter(F.col("op") != "delete")

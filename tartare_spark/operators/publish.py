@@ -135,76 +135,94 @@ def publish_incremental(
     DISTINCT dirty partitions (≤ num_parts values to the driver) and
     dynamically overwrite only those directories — a downstream
     consumer re-reads 1/num_parts of the export per touched partition
-    instead of the world.
+    instead of the world. A dirty partition whose keys are ALL deleted
+    gets its directory removed explicitly (dynamic overwrite only
+    replaces partitions that receive rows).
 
-    Crash-safe by ordering: the meta file is written AFTER the data, so
-    a crash mid-publish re-publishes the same dirty set on retry
-    (overwrite = idempotent). If the recorded version has been expired
-    by ``expire_snapshots``, falls back to a full rewrite (same
-    discipline as ``refresh_mv``). Returns a summary dict.
+    Crash-safe by ordering: the meta file is written (fsync'd, atomic)
+    AFTER the data, so a crash mid-publish re-publishes the same dirty
+    set on retry (overwrite = idempotent). If the recorded version has
+    been EXPIRED by ``expire_snapshots``, falls back to a full rewrite
+    (same discipline as ``refresh_mv``); any other feed error is
+    re-raised. A no-change publish touches no Spark job beyond the
+    manifest-pointer read. Returns a summary dict.
     """
+    import shutil
+
+    from tartare_spark.lake.table import _atomic_write_json
+
     meta_path = os.path.join(out_dir, _PUB_META)
     part = F.pmod(F.xxhash64("repo", "path"), F.lit(num_parts)).cast("int")
     version = lake.current_version()
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        snap = lake.snapshot(spark, version=version, registry=registry).withColumn(
+
+    def _snap():
+        return lake.snapshot(spark, version=version, registry=registry).withColumn(
             "_pub_part", part
         )
-        if not os.path.exists(meta_path):
-            mode = "full"
-            snap.write.mode("overwrite").partitionBy("_pub_part").parquet(out_dir)
-            dirty: list[int] = []
-        else:
-            with open(meta_path) as f:
-                meta = json.load(f)
-            if int(meta["num_parts"]) != num_parts:
-                raise ValueError(
-                    f"publish_incremental: export at {out_dir} was written "
-                    f"with num_parts={meta['num_parts']}, got {num_parts} — "
-                    "changing the layout requires a fresh out_dir"
-                )
-            last = int(meta["last_version"])
-            if last == version:
-                return {"mode": "noop", "version": version, "dirty_partitions": 0}
-            try:
-                feed = lake.changes(spark, last, version)
-            except ValueError:
-                # recorded version expired by retention — full rebuild
-                snap.write.mode("overwrite").partitionBy("_pub_part").parquet(out_dir)
-                _write_pub_meta(meta_path, version, num_parts)
-                return {
-                    "mode": "full_rebuild",
-                    "version": version,
-                    "dirty_partitions": num_parts,
-                }
-            mode = "incremental"
-            dirty = sorted(
-                r[0]
-                for r in feed.select(part.alias("_p")).distinct().collect()
+
+    def _full(mode: str) -> dict:
+        # static overwrite wipes the whole export dir (stale partitions
+        # from the previous layout/state cannot survive), then the meta
+        # is re-recorded
+        _snap().write.mode("overwrite").option(
+            "partitionOverwriteMode", "static"
+        ).partitionBy("_pub_part").parquet(out_dir)
+        _atomic_write_json(
+            meta_path, {"last_version": version, "num_parts": num_parts}
+        )
+        return {"mode": mode, "version": version, "dirty_partitions": num_parts}
+
+    if not os.path.exists(meta_path):
+        return _full("full")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if int(meta["num_parts"]) != num_parts:
+        raise ValueError(
+            f"publish_incremental: export at {out_dir} was written "
+            f"with num_parts={meta['num_parts']}, got {num_parts} — "
+            "changing the layout requires a fresh out_dir"
+        )
+    last = int(meta["last_version"])
+    if last == version:
+        return {"mode": "noop", "version": version, "dirty_partitions": 0}
+    try:
+        feed = lake.changes(spark, last, version)
+    except ValueError as err:
+        if "expired" not in str(err):
+            raise
+        # recorded version expired by retention — full rebuild
+        return _full("full_rebuild")
+    dirty = sorted(
+        int(r[0]) for r in feed.select(part.alias("_p")).distinct().collect()
+    )
+    if not dirty:
+        _atomic_write_json(
+            meta_path, {"last_version": version, "num_parts": num_parts}
+        )
+        return {"mode": "noop", "version": version, "dirty_partitions": 0}
+    snap = _snap().filter(F.col("_pub_part").isin(dirty))
+    snap.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("_pub_part").parquet(out_dir)
+    # dynamic overwrite never touches a partition that produced zero
+    # rows — a dirty partition whose keys were all tombstoned must be
+    # cleared by hand or the export would retain deleted rows forever
+    live = {
+        int(r[0]) for r in snap.select("_pub_part").distinct().collect()
+    }
+    for p_id in dirty:
+        if p_id not in live:
+            shutil.rmtree(
+                os.path.join(out_dir, f"_pub_part={p_id}"), ignore_errors=True
             )
-            if not dirty:
-                _write_pub_meta(meta_path, version, num_parts)
-                return {"mode": "noop", "version": version, "dirty_partitions": 0}
-            snap.filter(F.col("_pub_part").isin([int(d) for d in dirty])).write.mode(
-                "overwrite"
-            ).partitionBy("_pub_part").parquet(out_dir)
-        _write_pub_meta(meta_path, version, num_parts)
-        return {
-            "mode": mode,
-            "version": version,
-            "dirty_partitions": len(dirty) if mode == "incremental" else num_parts,
-        }
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
-
-
-def _write_pub_meta(meta_path: str, version: int, num_parts: int) -> None:
-    tmp = meta_path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"last_version": version, "num_parts": num_parts}, f)
-    os.replace(tmp, meta_path)
+    _atomic_write_json(
+        meta_path, {"last_version": version, "num_parts": num_parts}
+    )
+    return {
+        "mode": "incremental",
+        "version": version,
+        "dirty_partitions": len(dirty),
+    }
 
 
 def read_incremental_export(spark: SparkSession, out_dir: str) -> DataFrame:
