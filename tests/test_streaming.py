@@ -613,3 +613,51 @@ def test_multi_table_unrouted_strict_and_deadletter(
 
     with pytest.raises(ValueError, match="no lakes"):
         run_stream_multi(spark, unit_events_dir, {}, str(tmp_path / "ck0"))
+
+
+# ---------------------------------------------------------------- T8
+def test_stream_stream_enrich_matches_batch_join(spark, unit_events_dir, tmp_path):
+    """T8: watermarked stream-stream interval join == the identical
+    batch join (single availableNow batch, so no row can be dropped as
+    late), and the plan is a StreamingSymmetricHashJoin with state."""
+    import datetime
+    import json
+    import os
+
+    from tartare_spark.lake.schema import CHANGE_EVENT_SCHEMA
+    from tartare_spark.streaming.joins import stream_stream_enrich
+
+    # marker stream: one deploy marker per repo parity, timestamps
+    # inside the event range
+    ev_batch = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(unit_events_dir)
+    lo = ev_batch.agg(F.min("ts")).collect()[0][0]
+    markers = [
+        (f"repo_{i:04d}", lo + datetime.timedelta(minutes=7 * i))
+        for i in range(20)
+    ]
+    mk_dir = str(tmp_path / "markers")
+    spark.createDataFrame(markers, "repo string, mts timestamp").write.parquet(mk_dir)
+
+    expected = stream_stream_enrich(
+        ev_batch, spark.read.parquet(mk_dir), window="45 minutes"
+    ).count()
+    assert expected > 0
+
+    ev_s = spark.readStream.schema(CHANGE_EVENT_SCHEMA).parquet(unit_events_dir)
+    mk_s = spark.readStream.schema("repo string, mts timestamp").parquet(mk_dir)
+    joined = stream_stream_enrich(ev_s, mk_s, window="45 minutes")
+    out_dir = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir).count()
+    assert got == expected
+    # the executed streaming plan held symmetric join state
+    progress = [json.loads(p.json) if hasattr(p, "json") else p for p in q.recentProgress]
+    ops = [op for p in progress for op in (p.get("stateOperators") or [])]
+    assert any("symmetricHashJoin" in (op.get("operatorName") or "") for op in ops), ops
