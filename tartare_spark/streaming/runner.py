@@ -220,12 +220,17 @@ def run_stream_multi(
     manifest_fence: bool = False,
     fence_lateness: int = 0,
     strict: bool = True,
+    envelope: bool = False,
 ):
     """S18 — ONE binlog tail fanned into MULTIPLE lake tables in a
     single query (Debezium topic-per-table / server-level connector
     shape): each event routes by the ``route`` column (a name or any
     Column expression over the event row) to the lake registered under
-    that value in ``lakes``.
+    that value in ``lakes``. ``registry`` may be a single
+    ``SchemaRegistry`` shared by every table or a ``{table: registry}``
+    dict (Debezium's per-table schema history); ``envelope=True`` tails
+    a Debezium-style JSON topic dump (S11 adapter, malformed lines
+    dropped) instead of parquet changelogs.
 
     Exactly-once is PER TABLE and rides each lake's own batch_id claim
     (S7): tables are applied in sorted-name order inside one
@@ -252,10 +257,26 @@ def run_stream_multi(
     if not lakes:
         raise ValueError("run_stream_multi: no lakes registered")
     rcol = F.col(route) if isinstance(route, str) else route
-    reader = spark.readStream.schema(CHANGE_EVENT_SCHEMA)
+    registries = (
+        dict(registry) if isinstance(registry, dict)
+        else {name: registry for name in lakes}
+    )
+    if set(registries) - set(lakes):
+        raise ValueError(
+            "run_stream_multi: registry dict names unknown tables "
+            f"{sorted(set(registries) - set(lakes))}"
+        )
+    reader = spark.readStream
+    if not envelope:
+        reader = reader.schema(CHANGE_EVENT_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    src = reader.parquet(events_dir)
+    if envelope:
+        from tartare_spark.operators.envelope import envelope_changelog
+
+        src = envelope_changelog(reader.text(events_dir), drop_malformed=True)
+    else:
+        src = reader.parquet(events_dir)
 
     # captured once per run, like run_stream's single-table offset:
     # immutable after bootstrap, and checkpoint resumes renumber epochs
@@ -309,7 +330,7 @@ def run_stream_multi(
                     lakes[name],
                     tagged.filter(F.col("_route") == name).drop("_route"),
                     epoch + offsets[name],
-                    registry=registry,
+                    registry=registries.get(name),
                     lsn_fence="manifest" if manifest_fence else None,
                     fence_lateness=fence_lateness,
                 )

@@ -661,3 +661,60 @@ def test_stream_stream_enrich_matches_batch_join(spark, unit_events_dir, tmp_pat
     progress = [json.loads(p.json) if hasattr(p, "json") else p for p in q.recentProgress]
     ops = [op for p in progress for op in (p.get("stateOperators") or [])]
     assert any("symmetricHashJoin" in (op.get("operatorName") or "") for op in ops), ops
+
+
+def test_multi_table_envelope_and_per_table_registry(
+    spark, unit_events_dir, tmp_path
+):
+    """S18 × S11: the fan-out tail reads a Debezium JSON topic dump
+    (poison line dropped), and each table gets its OWN registry —
+    t_even evolves an added column with a default, t_odd stays at the
+    base schema."""
+    from tartare_spark.operators.envelope import to_envelope
+    from tartare_spark.streaming.runner import run_stream_multi
+
+    ev = spark.read.parquet(f"{unit_events_dir}/*.parquet")
+    topic = str(tmp_path / "topic")
+    to_envelope(ev).coalesce(6).write.mode("overwrite").text(topic)
+    with open(f"{topic}/poison.txt", "w") as f:
+        f.write("not json at all\n")
+
+    base = registry_rows(UNIT)
+    evolved = SchemaRegistry(
+        base
+        + [{
+            "version": 99, "effective_lsn": 0, "action": "add",
+            "column": "tier", "renamed_from": None,
+            "default_expr": "'hot'",
+        }]
+    )
+    lakes = {
+        "t_even": LakeTable.create(str(tmp_path / "even"), num_buckets=8),
+        "t_odd": LakeTable.create(str(tmp_path / "odd"), num_buckets=8),
+    }
+    with pytest.raises(ValueError, match="unknown tables"):
+        run_stream_multi(
+            spark, topic, lakes, str(tmp_path / "ck0"),
+            registry={"nope": evolved},
+        )
+    run_stream_multi(
+        spark, topic, lakes, str(tmp_path / "ck"),
+        route=_parity_route(),
+        registry={"t_even": evolved, "t_odd": SchemaRegistry(base)},
+        envelope=True, max_files_per_trigger=3,
+    )
+    even = lakes["t_even"].snapshot(spark, registry=evolved)
+    assert "tier" in even.columns
+    assert even.select("tier").distinct().collect()[0][0] == "hot"
+    odd = lakes["t_odd"].snapshot(spark, registry=SchemaRegistry(base))
+    assert "tier" not in odd.columns
+    # both tables still referee-exact on the shared columns
+    for name, even_flag in (("t_even", True), ("t_odd", False)):
+        exp = _parity_expected(even_flag)
+        reg = evolved if even_flag else SchemaRegistry(base)
+        eng = lakes[name].snapshot(spark, registry=reg).select(
+            *exp.columns.tolist()
+        )
+        expdf = spark.createDataFrame(exp)
+        assert eng.exceptAll(expdf).count() == 0
+        assert expdf.exceptAll(eng).count() == 0
