@@ -37,13 +37,20 @@ def stream_stream_enrich(
     """Join a change-event stream to a marker stream on ``key`` where
     the event's ``ts`` falls in ``[marker.mts, marker.mts + window]``.
     Both inputs may be streaming DataFrames (the stream-stream case) or
-    batch DataFrames (the oracle/referee case — same expression)."""
-    ev = events.withWatermark("ts", watermark) if events.isStreaming else events
-    mk = markers.withWatermark("mts", watermark) if markers.isStreaming else markers
-    mk = mk.withColumnRenamed(key, f"_mk_{key}")
-    cond = (
-        (F.col(key) == F.col(f"_mk_{key}"))
-        & (F.col("ts") >= F.col("mts"))
-        & (F.col("ts") <= F.col("mts") + F.expr(f"INTERVAL {window}"))
+    batch DataFrames (the oracle/referee case — same expression).
+
+    EVERY marker column comes back prefixed ``mk_`` (``mts`` →
+    ``mk_mts``, payload columns likewise; the duplicate ``mk_<key>`` is
+    dropped), so a marker stream may share any column names with the
+    event stream — nothing is ambiguous and nothing collides."""
+    mk = markers.select(
+        *[F.col(c).alias(f"mk_{c}") for c in markers.columns]
     )
-    return ev.join(mk, cond, join_type).drop(f"_mk_{key}")
+    ev = events.withWatermark("ts", watermark) if events.isStreaming else events
+    mk = mk.withWatermark("mk_mts", watermark) if mk.isStreaming else mk
+    cond = (
+        (F.col(key) == F.col(f"mk_{key}"))
+        & (F.col("ts") >= F.col("mk_mts"))
+        & (F.col("ts") <= F.col("mk_mts") + F.expr(f"INTERVAL {window}"))
+    )
+    return ev.join(mk, cond, join_type).drop(f"mk_{key}")

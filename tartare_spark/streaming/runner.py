@@ -30,6 +30,27 @@ from tartare_spark.lake.table import LakeTable
 from tartare_spark.operators.apply import apply_batch
 
 
+def _open_change_source(
+    spark: SparkSession,
+    events_dir: str,
+    envelope: bool,
+    max_files_per_trigger: int | None,
+):
+    """Shared stream-source constructor for run_stream / run_stream_multi:
+    parquet changelog by default, Debezium-style JSON topic dump
+    (S11 adapter, malformed lines dropped) with ``envelope=True``."""
+    reader = spark.readStream
+    if not envelope:
+        reader = reader.schema(CHANGE_EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if envelope:
+        from tartare_spark.operators.envelope import envelope_changelog
+
+        return envelope_changelog(reader.text(events_dir), drop_malformed=True)
+    return reader.parquet(events_dir)
+
+
 def run_stream(
     spark: SparkSession,
     events_dir: str,
@@ -92,17 +113,7 @@ def run_stream(
     so refreshes coalesce rather than drop. Refresh ≡ full rebuild for
     any groupBy agg (tested in tests/test_streaming.py).
     """
-    reader = spark.readStream
-    if not envelope:
-        reader = reader.schema(CHANGE_EVENT_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    if envelope:
-        from tartare_spark.operators.envelope import envelope_changelog
-
-        src = envelope_changelog(reader.text(events_dir), drop_malformed=True)
-    else:
-        src = reader.parquet(events_dir)
+    src = _open_change_source(spark, events_dir, envelope, max_files_per_trigger)
     if drop_dup_within_watermark:
         src = src.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["lsn"])
     if stateful_fence:
@@ -257,26 +268,23 @@ def run_stream_multi(
     if not lakes:
         raise ValueError("run_stream_multi: no lakes registered")
     rcol = F.col(route) if isinstance(route, str) else route
-    registries = (
-        dict(registry) if isinstance(registry, dict)
-        else {name: registry for name in lakes}
-    )
-    if set(registries) - set(lakes):
-        raise ValueError(
-            "run_stream_multi: registry dict names unknown tables "
-            f"{sorted(set(registries) - set(lakes))}"
-        )
-    reader = spark.readStream
-    if not envelope:
-        reader = reader.schema(CHANGE_EVENT_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    if envelope:
-        from tartare_spark.operators.envelope import envelope_changelog
-
-        src = envelope_changelog(reader.text(events_dir), drop_malformed=True)
+    if isinstance(registry, dict):
+        registries = dict(registry)
+        # symmetric validation: an unknown name AND a forgotten table
+        # are both deployment bugs — a table silently replaying with no
+        # registry would produce wrong columns with no error anywhere.
+        # Opt a table out of evolution EXPLICITLY with {"t": None}.
+        if set(registries) != set(lakes):
+            unknown = sorted(set(registries) - set(lakes))
+            missing = sorted(set(lakes) - set(registries))
+            raise ValueError(
+                "run_stream_multi: per-table registry dict must cover "
+                f"every table exactly (unknown: {unknown}, missing: "
+                f"{missing}; pass None per table to opt out)"
+            )
     else:
-        src = reader.parquet(events_dir)
+        registries = {name: registry for name in lakes}
+    src = _open_change_source(spark, events_dir, envelope, max_files_per_trigger)
 
     # captured once per run, like run_stream's single-table offset:
     # immutable after bootstrap, and checkpoint resumes renumber epochs

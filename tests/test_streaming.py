@@ -618,17 +618,17 @@ def test_multi_table_unrouted_strict_and_deadletter(
 # ---------------------------------------------------------------- T8
 def test_stream_stream_enrich_matches_batch_join(spark, unit_events_dir, tmp_path):
     """T8: watermarked stream-stream interval join == the identical
-    batch join (single availableNow batch, so no row can be dropped as
-    late), and the plan is a StreamingSymmetricHashJoin with state."""
+    batch join ROW FOR ROW (single availableNow batch, so no row can be
+    dropped as late), and the plan is a StreamingSymmetricHashJoin with
+    state."""
     import datetime
     import json
-    import os
 
     from tartare_spark.lake.schema import CHANGE_EVENT_SCHEMA
     from tartare_spark.streaming.joins import stream_stream_enrich
 
-    # marker stream: one deploy marker per repo parity, timestamps
-    # inside the event range
+    # marker stream: one deploy marker per repo (all 20 UNIT repos),
+    # timestamps inside the event range
     ev_batch = spark.read.schema(CHANGE_EVENT_SCHEMA).parquet(unit_events_dir)
     lo = ev_batch.agg(F.min("ts")).collect()[0][0]
     markers = [
@@ -640,8 +640,8 @@ def test_stream_stream_enrich_matches_batch_join(spark, unit_events_dir, tmp_pat
 
     expected = stream_stream_enrich(
         ev_batch, spark.read.parquet(mk_dir), window="45 minutes"
-    ).count()
-    assert expected > 0
+    )
+    assert expected.count() > 0
 
     ev_s = spark.readStream.schema(CHANGE_EVENT_SCHEMA).parquet(unit_events_dir)
     mk_s = spark.readStream.schema("repo string, mts timestamp").parquet(mk_dir)
@@ -655,8 +655,9 @@ def test_stream_stream_enrich_matches_batch_join(spark, unit_events_dir, tmp_pat
         .start()
     )
     q.awaitTermination()
-    got = spark.read.parquet(out_dir).count()
-    assert got == expected
+    got = spark.read.parquet(out_dir).select(*expected.columns)
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
     # the executed streaming plan held symmetric join state
     progress = [json.loads(p.json) if hasattr(p, "json") else p for p in q.recentProgress]
     ops = [op for p in progress for op in (p.get("stateOperators") or [])]
@@ -692,10 +693,17 @@ def test_multi_table_envelope_and_per_table_registry(
         "t_even": LakeTable.create(str(tmp_path / "even"), num_buckets=8),
         "t_odd": LakeTable.create(str(tmp_path / "odd"), num_buckets=8),
     }
-    with pytest.raises(ValueError, match="unknown tables"):
+    with pytest.raises(ValueError, match="unknown.*missing"):
         run_stream_multi(
             spark, topic, lakes, str(tmp_path / "ck0"),
             registry={"nope": evolved},
+        )
+    # a forgotten table is ALSO a loud error (silent no-registry replay
+    # would produce wrong columns) — opt out explicitly with None
+    with pytest.raises(ValueError, match="missing.*t_odd"):
+        run_stream_multi(
+            spark, topic, lakes, str(tmp_path / "ck0b"),
+            registry={"t_even": evolved},
         )
     run_stream_multi(
         spark, topic, lakes, str(tmp_path / "ck"),
