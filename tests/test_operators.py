@@ -2673,3 +2673,52 @@ def test_publish_incremental_clears_all_deleted_partition(spark, tmp_path):
     exp = lake.snapshot(spark)
     got = read_incremental_export(spark, out).select(*exp.columns)
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_publish_incremental_crash_before_meta_heals_on_retry(
+    spark, tmp_path, monkeypatch
+):
+    """The docstring's crash contract, pinned: a crash AFTER the dirty
+    partitions are rewritten but BEFORE the meta records the new
+    version leaves the export readable; the retry re-publishes the
+    same dirty set (idempotent overwrite) and converges."""
+    import pandas as pd
+
+    import tartare_spark.operators.publish as pub_mod
+    from tartare_spark.fixtures import UNIT, generate_change_events
+    from tartare_spark.lake.table import LakeTable, _atomic_write_json
+    from tartare_spark.operators.apply import replay_batches
+    from tartare_spark.operators.publish import (
+        publish_incremental,
+        read_incremental_export,
+    )
+
+    ev = pd.DataFrame(generate_change_events(UNIT))
+    cut = int(ev["lsn"].quantile(0.7))
+    lake = LakeTable.create(str(tmp_path / "lake"), num_buckets=8)
+    replay_batches(spark, lake, spark.createDataFrame(ev[ev["lsn"] <= cut]), num_chunks=1)
+    out = str(tmp_path / "export")
+    assert publish_incremental(spark, lake, out, num_parts=16)["mode"] == "full"
+    replay_batches(
+        spark, lake, spark.createDataFrame(ev[ev["lsn"] > cut]),
+        num_chunks=1, start_batch_id=1,
+    )
+
+    state = {"calls": 0}
+    real = _atomic_write_json
+
+    def crashing(path, payload):
+        if path.endswith("_publish_meta.json") and state["calls"] == 0:
+            state["calls"] += 1
+            raise RuntimeError("injected crash before meta write")
+        return real(path, payload)
+
+    monkeypatch.setattr("tartare_spark.lake.table._atomic_write_json", crashing)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        publish_incremental(spark, lake, out, num_parts=16)
+    # meta still points at the OLD version; retry must re-publish
+    rep = publish_incremental(spark, lake, out, num_parts=16)
+    assert rep["mode"] == "incremental"
+    exp = lake.snapshot(spark)
+    got = read_incremental_export(spark, out).select(*exp.columns)
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
