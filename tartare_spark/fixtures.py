@@ -229,6 +229,13 @@ def write_events_parquet(
     for fi, start in enumerate(range(0, n, events_per_file)):
         chunk = table.slice(start, events_per_file)
         pq.write_table(chunk, os.path.join(out_dir, f"events-{fi:06d}.parquet"))
+    # strictly increasing mtimes in arrival order: a fast write loop
+    # leaves same-ms ties, and Spark's file source lists by (mtime,
+    # path) — a tie that flips between two streaming runs changes their
+    # BATCHING, which makes across-batch dedup volumes (and the fence's
+    # caught-redelivery counts) run-dependent. Observed as a rare
+    # fence-vol > plain-vol flake in test_streaming_manifest_fence_path.
+    stamp_files_in_order(out_dir)
     return n
 
 
