@@ -289,13 +289,14 @@ def cmd_meta(args) -> int:
     from tartare_spark.lake.metadata import (
         files_df,
         partitions_df,
+        refs_df,
         snapshots_df,
     )
     from tartare_spark.lake.table import LakeTable
 
-    if args.table == "snapshots" and args.version is not None:
+    if args.table in ("snapshots", "refs") and args.version is not None:
         print(
-            "error: meta snapshots lists ALL retained versions; "
+            f"error: meta {args.table} lists ALL entries; "
             "--version applies to files/partitions only",
             file=sys.stderr,
         )
@@ -304,6 +305,8 @@ def cmd_meta(args) -> int:
     lake = LakeTable(args.lake)
     if args.table == "snapshots":
         df = snapshots_df(spark, lake)
+    elif args.table == "refs":
+        df = refs_df(spark, lake)
     elif args.table == "files":
         df = files_df(spark, lake, version=args.version)
     else:
@@ -524,9 +527,9 @@ def build_parser() -> argparse.ArgumentParser:
     mt = sub.add_parser(
         "meta",
         help="queryable metadata tables: files / snapshots / partitions "
-        "(Iceberg db.table.files parity)",
+        "/ refs (Iceberg db.table.files parity)",
     )
-    mt.add_argument("table", choices=["files", "snapshots", "partitions"])
+    mt.add_argument("table", choices=["files", "snapshots", "partitions", "refs"])
     mt.add_argument("--lake", required=True)
     mt.add_argument("--version", type=int, default=None)
     mt.add_argument("--limit", type=int, default=1000)

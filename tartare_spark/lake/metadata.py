@@ -112,3 +112,20 @@ def partitions_df(
         rows,
         "bucket int, n_base_files int, n_delta_files int, last_lsn long",
     )
+
+
+def refs_df(spark: SparkSession, lake: "LakeTable") -> DataFrame:
+    """One row per named ref (Iceberg ``table.refs`` parity): the main
+    HEAD, every tag (type ``tag``, pinned version), and every live
+    branch (type ``branch``, fork + current version of the branch
+    root). Pure driver-side metadata — O(refs) rows."""
+    rows = [("main", "branch", None, lake.current_version())]
+    for name, v in sorted(lake.tags().items()):
+        rows.append((name, "tag", None, int(v)))
+    for name, info in sorted(lake.branches().items()):
+        rows.append(
+            (name, "branch", int(info["fork_version"]), int(info["current_version"]))
+        )
+    return spark.createDataFrame(
+        rows, "name string, type string, fork_version long, version long"
+    )

@@ -118,3 +118,39 @@ def test_cli_meta(spark, meta_lake, capsys):
     )
     capsys.readouterr()
     assert rc == 2
+
+
+def test_refs_df_lists_main_tags_branches(spark, meta_lake, capsys):
+    """Iceberg ``table.refs`` parity: main HEAD + every tag + every
+    live branch, with fork/current versions; CLI `meta refs` prints the
+    same rows and rejects --version."""
+    from tartare_spark.__main__ import main
+    from tartare_spark.lake.metadata import refs_df
+
+    tag_v = meta_lake.current_version()
+    meta_lake.create_tag("rel-1", tag_v)
+    br = meta_lake.create_branch("audit")
+    try:
+        refs = {r["name"]: r for r in refs_df(spark, meta_lake).collect()}
+        assert refs["main"]["type"] == "branch"
+        assert refs["main"]["version"] == meta_lake.current_version()
+        assert refs["rel-1"]["type"] == "tag" and refs["rel-1"]["version"] == tag_v
+        assert refs["audit"]["type"] == "branch"
+        assert refs["audit"]["fork_version"] == tag_v
+        assert refs["audit"]["version"] == br.current_version()
+
+        rc = main(["meta", "refs", "--lake", meta_lake.root])
+        lines = [
+            l
+            for l in capsys.readouterr().out.strip().splitlines()
+            if l.startswith("{")
+        ]
+        assert rc == 0 and {json.loads(l)["name"] for l in lines} == {
+            "main", "rel-1", "audit",
+        }
+        rc = main(["meta", "refs", "--lake", meta_lake.root, "--version", "1"])
+        capsys.readouterr()
+        assert rc == 2
+    finally:
+        meta_lake.drop_branch("audit")
+        meta_lake.drop_tag("rel-1")
