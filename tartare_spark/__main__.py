@@ -126,6 +126,35 @@ def cmd_replay_multi(args) -> int:
     return 0
 
 
+def cmd_verify_replica(args) -> int:
+    """S16 operationally: checksum two lakes' snapshots and print the
+    dirty-bucket worklist. Exit 0 = replicas equal, 4 = mismatch
+    (grep-style, like lookup's 3 = absent)."""
+    from tartare_spark.lake.table import LakeTable
+    from tartare_spark.operators.checksum import checksum_diff, table_checksum
+
+    spark = _spark(args)
+    val_cols = [c for c in args.val_cols.split(",") if c]
+
+    def summary(root):
+        snap = LakeTable(root).snapshot(spark)
+        return table_checksum(
+            snap, key_cols=["repo", "path"], val_cols=val_cols,
+            num_buckets=args.buckets,
+        )
+
+    dirty = checksum_diff(summary(args.lake), summary(args.replica)).collect()
+    for r in sorted(dirty, key=lambda x: x["bucket"]):
+        print(json.dumps(r.asDict(), default=str))
+    print(
+        json.dumps(
+            {"equal": not dirty, "dirty_buckets": len(dirty),
+             "num_buckets": args.buckets}
+        )
+    )
+    return 0 if not dirty else 4
+
+
 def cmd_snapshot(args) -> int:
     spark = _spark(args)
     lake = _lake(args)
@@ -445,6 +474,17 @@ def build_parser() -> argparse.ArgumentParser:
     rm.add_argument("--dead-letter", action="store_true",
                     help="dead-letter unrouted events instead of failing the query")
     rm.set_defaults(fn=cmd_replay_multi)
+
+    vr = sub.add_parser(
+        "verify",
+        help="pt-table-checksum-style replica validation: compare two "
+        "lakes' snapshots by per-bucket checksum (exit 4 on mismatch)",
+    )
+    vr.add_argument("--lake", required=True)
+    vr.add_argument("--replica", required=True)
+    vr.add_argument("--val-cols", default="commit,content,_lsn")
+    vr.add_argument("--buckets", type=int, default=32)
+    vr.set_defaults(fn=cmd_verify_replica)
 
     s = sub.add_parser("snapshot", help="read the live snapshot (or a past version)")
     s.add_argument("--lake", required=True)

@@ -4,6 +4,8 @@ builds its session via get_spark, which reuses the test JVM)."""
 
 import json
 
+from pyspark.sql import functions as F
+
 from tartare_spark.__main__ import main
 from tartare_spark.fixtures import UNIT, generate_change_events
 from tartare_spark.lake.table import LakeTable
@@ -274,3 +276,32 @@ def test_cli_replay_multi(spark, unit_events_dir, tmp_path, capsys):
     )
     capsys.readouterr()
     assert rc == 2
+
+
+def test_cli_verify_replica(spark, unit_events_dir, tmp_path, capsys):
+    """CLI `verify`: equal replicas exit 0 with equal=true; a replica
+    that MISSED the final change event exits 4 and names >= 1 dirty
+    bucket (the lost-event replication failure the tool exists for)."""
+    from tartare_spark.operators.apply import replay_batches
+
+    ev = spark.read.parquet(f"{unit_events_dir}/*.parquet")
+    max_lsn = ev.agg(F.max("lsn")).collect()[0][0]
+    lakes = {}
+    for name, frame in (("src", ev), ("rep", ev), ("lagged", ev.filter(F.col("lsn") != max_lsn))):
+        lk = LakeTable.create(str(tmp_path / name), num_buckets=8)
+        replay_batches(spark, lk, frame, num_chunks=2)
+        lakes[name] = lk
+
+    rc = main(["verify", "--lake", lakes["src"].root, "--replica", lakes["rep"].root])
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert rc == 0 and json.loads(out) == {
+        "equal": True, "dirty_buckets": 0, "num_buckets": 32,
+    }
+
+    rc = main(["verify", "--lake", lakes["src"].root, "--replica", lakes["lagged"].root])
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert rc == 4
+    tail = json.loads(lines[-1])
+    assert tail["equal"] is False and tail["dirty_buckets"] >= 1
+    # every dirty row names a real bucket for targeted re-sync
+    assert all("bucket" in json.loads(l) for l in lines[:-1])
