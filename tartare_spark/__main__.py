@@ -4,12 +4,15 @@ The reference exposes its pipeline operationally (HTTP + scheduled
 jobs); the Spark-native analog is a spark-submit-able CLI over the same
 library API the tests drive:
 
-    python -m tartare_spark replay   --events DIR --lake DIR --checkpoint DIR
-    python -m tartare_spark snapshot --lake DIR [--version N] [--limit N] [--out DIR]
-    python -m tartare_spark lookup   --lake DIR --repo R --path P
-    python -m tartare_spark compact  --lake DIR [--buckets 0,3,7]
-    python -m tartare_spark vacuum   --lake DIR
-    python -m tartare_spark metrics  --lake DIR [--tail N]
+    python -m tartare_spark replay       --events DIR --lake DIR --checkpoint DIR
+    python -m tartare_spark replay-multi --events DIR --lakes-root DIR --tables a,b --checkpoint DIR
+    python -m tartare_spark snapshot     --lake DIR [--version N] [--limit N] [--out DIR]
+    python -m tartare_spark lookup       --lake DIR --repo R --path P
+    python -m tartare_spark verify       --lake DIR --replica DIR
+    python -m tartare_spark compact      --lake DIR [--buckets 0,3,7]
+    python -m tartare_spark vacuum       --lake DIR
+    python -m tartare_spark meta         files|snapshots|partitions|refs --lake DIR
+    python -m tartare_spark metrics      --lake DIR [--tail N]
 
 On a cluster: ``spark-submit --py-files engine.zip -m`` equivalent —
 every subcommand builds its session via :func:`tartare_spark.session.
